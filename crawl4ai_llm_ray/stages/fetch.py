@@ -1,0 +1,110 @@
+"""Fetch + span-decomposition stage.
+
+A ``map_batches`` worker over WAVE_SCHEMA batches: "fetches" each URL (against
+the deterministic synthetic web — the fetcher interface takes any
+``fetch_fn(url_canon) -> (status, spans)``, so a real HTTP fetcher slots in
+later), decomposes pages into the interleaved ``(kind, text, media_ref,
+offset)`` span records (BASELINE.json:input_hint), and — the streaming part —
+extracts discovered links, canonicalizes+hashes+routes them, and offers them
+back to the frontier shard actors *from inside the stage*, so links loop back
+without a second pass over fetched data.
+
+Link priority is a pure function of discovery depth (1/(1+depth)) — see
+frontier.py's determinism contract.
+
+This replaces the reference's implied crawl loop (external ``crawl4ai`` dep;
+contract at ``/root/reference/crawl4ai_llm/config.py:35-62``) and its
+"extract → ProductData(title, images[position])" interleaved record model
+(``/root/reference/crawl4ai_llm/models.py:32-77``).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import FETCHED_SCHEMA
+from ..sources.synth import SynthWebConfig, fetch_page, spans_to_arrow
+from .canonicalize import canonicalize_batch
+
+
+class FetcherWorker:
+    """Callable for map_batches. Used as a stateless task via
+    ``functools.partial``-style construction per wave, or as an actor pool
+    (callable class) — state here is only the config + shard handles, both
+    cheap and immutable."""
+
+    def __init__(self, synth_cfg: SynthWebConfig, shards=None, n_partitions: int = 1):
+        self.cfg = synth_cfg
+        self.shards = shards  # list[ActorHandle] | None (no loopback)
+        self.n_partitions = n_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url_canon"].to_pylist()
+        statuses = np.empty(len(urls), dtype=np.int32)
+        span_lists = []
+        out_urls: list[str] = []
+        out_depths: list[int] = []
+        for i, u in enumerate(urls):
+            status, spans = fetch_page(self.cfg, u)
+            statuses[i] = status
+            span_lists.append(spans)
+        depths = batch["depth"].to_numpy(zero_copy_only=False)
+        for i, spans in enumerate(span_lists):
+            d = int(depths[i]) + 1
+            for kind, _text, ref, _off in spans:
+                if kind == "link":
+                    out_urls.append(ref)
+                    out_depths.append(d)
+
+        if self.shards is not None and out_urls:
+            self._offer_links(out_urls, out_depths)
+
+        url_hash = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_id = pa.array([f"url_{h}" for h in url_hash], type=pa.string())
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        fetched_at = pa.array(
+            np.full(len(urls), np.datetime64(now, "us")), type=pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "url_canon": batch["url_canon"],
+                "url_hash": batch["url_hash"],
+                "host": batch["host"],
+                "wave": batch["wave"],
+                "depth": batch["depth"],
+                "priority": batch["priority"],
+                "scheduled_t": batch["scheduled_t"],
+                "status": pa.array(statuses),
+                "spans": spans_to_arrow(span_lists),
+                "fetched_at": fetched_at,
+            },
+            schema=FETCHED_SCHEMA,
+        )
+
+    def _offer_links(self, out_urls: list[str], out_depths: list[int]) -> None:
+        import ray
+
+        link_tbl = pa.table(
+            {
+                "url": pa.array(out_urls, type=pa.string()),
+                "depth": pa.array(np.array(out_depths, dtype=np.int32)),
+                "priority": pa.array(
+                    (1.0 / (1.0 + np.array(out_depths, dtype=np.float32))).astype(
+                        np.float32
+                    )
+                ),
+            }
+        )
+        routed = canonicalize_batch(link_tbl, self.n_partitions)
+        pid = routed["partition_id"].to_numpy(zero_copy_only=False)
+        refs = []
+        for p in np.unique(pid):
+            sub = routed.filter(pa.array(pid == p))
+            refs.append(self.shards[int(p)].offer.remote(sub))
+        # synchronous: offers must land before the wave barrier; this also
+        # backpressures the fetch stage against a slow frontier shard
+        ray.get(refs)

@@ -1,10 +1,22 @@
+import os
+import sys
+
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
     from ray.data import DataContext
+
+    # Ray worker processes must find the package too
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
 
     if not ray.is_initialized():
         ray.init(

@@ -1,0 +1,153 @@
+"""Oracle-equality suite: the Ray engine must reproduce the single-process
+oracle crawler exactly — span sequences, crawl order, seen set, metrics —
+and resume from checkpoint must be equivalent to an uninterrupted run."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from crawl4ai_llm_ray.oracle.crawler import oracle_crawl
+from crawl4ai_llm_ray.pipelines.crawl import crawl_order, run_crawl
+from crawl4ai_llm_ray.sources.synth import SynthWebConfig
+
+CFG = SynthWebConfig(seed=42, n_hosts=12, base_pages=20, n_seeds=6)
+NPART = 4
+
+
+def _engine_docs(out_dir):
+    tbl = pq.read_table(os.path.join(out_dir, "docs"))
+    docs = {}
+    urls = tbl["url_canon"].to_pylist()
+    spans = tbl["spans"].to_pylist()
+    for u, sp in zip(urls, spans):
+        docs[u] = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+    return docs
+
+
+def _normalize_metrics(metrics_tbl):
+    out = {}
+    for row in metrics_tbl.to_pylist():
+        key = (row["partition_id"], row["wave"])
+        vals = {
+            k: row[k]
+            for k in ("offered", "admitted", "deduped", "robots_blocked", "fetched")
+        }
+        if any(vals.values()):
+            cur = out.setdefault(key, dict.fromkeys(vals, 0))
+            for k, v in vals.items():
+                cur[k] += v
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return oracle_crawl(CFG, n_partitions=NPART)
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl") / "out")
+    res = run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        batch_size=256,
+        expected_urls_per_shard=2048,
+    )
+    return res
+
+
+def test_doc_count_and_waves(engine, golden):
+    assert engine.n_docs == len(golden["docs"])
+    assert engine.n_waves == golden["n_waves"]
+
+
+def test_seen_set_equality(engine, golden):
+    assert engine.seen_hashes.tolist() == golden["seen"]
+
+
+def test_span_sequence_equality(engine, golden):
+    docs = _engine_docs(engine.out_dir)
+    assert set(docs) == set(golden["docs"])
+    for url, gspans in golden["docs"].items():
+        assert docs[url] == gspans, f"span mismatch for {url}"
+
+
+def test_crawl_order_equality(engine, golden):
+    order = crawl_order(engine.out_dir)
+    got = list(
+        zip(
+            order["seq"].to_pylist(),
+            order["url_canon"].to_pylist(),
+            order["wave"].to_pylist(),
+            order["host"].to_pylist(),
+            order["scheduled_t"].to_pylist(),
+        )
+    )
+    assert got == golden["order"]
+
+
+def test_politeness_invariant(engine):
+    """Consecutive same-host fetches are ≥ crawl_delay apart."""
+    from crawl4ai_llm_ray.sources.synth import robots_rules
+
+    order = crawl_order(engine.out_dir)
+    rules = robots_rules(CFG)
+    by_host = {}
+    for host, sched in zip(
+        order["host"].to_pylist(), order["scheduled_t"].to_pylist()
+    ):
+        by_host.setdefault(host, []).append(sched)
+    for host, times in by_host.items():
+        delay = rules.get(host, ((), 1.0))[1]
+        for a, b in zip(times, times[1:]):
+            assert b - a >= delay - 1e-9, (host, a, b)
+
+
+def test_metrics_equality(engine, golden):
+    got = _normalize_metrics(engine.metrics)
+    want = {
+        k: v for k, v in golden["metrics"].items() if any(v.values())
+    }
+    assert got == want
+
+
+def test_resume_equivalence(ray_session, tmp_path, golden):
+    """Kill after wave 2 (simulated by max_waves), resume, final state equal."""
+    out = str(tmp_path / "resume_out")
+    partial = run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        max_waves=2,
+        expected_urls_per_shard=2048,
+    )
+    assert partial.n_waves == 2
+    full = run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        resume=True,
+        expected_urls_per_shard=2048,
+    )
+    assert full.n_docs == len(golden["docs"])
+    assert full.seen_hashes.tolist() == golden["seen"]
+    docs = _engine_docs(out)
+    for url, gspans in golden["docs"].items():
+        assert docs[url] == gspans
+    order = crawl_order(out)
+    got = list(
+        zip(
+            order["seq"].to_pylist(),
+            order["url_canon"].to_pylist(),
+            order["wave"].to_pylist(),
+            order["host"].to_pylist(),
+            order["scheduled_t"].to_pylist(),
+        )
+    )
+    assert got == golden["order"]
