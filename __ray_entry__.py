@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (frontier shards + fetch +
+span decomposition) and returns the interleaved document table.
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2
+plus the training-data-pipeline suite; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (same column names, same rounding).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,202 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from crawl4ai_llm_ray.pipelines import ann, crawl_queries, dedup, multimodal, relational, text
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic synthetic frontier → wave-based crawl
+    (cuckoo-filter seen set, politeness, robots, priority drain) → interleaved
+    (doc_id, spans) document table."""
+    return crawl_queries.crawl_interleaved_docs()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational / reference-storage semantics (SURVEY §2) ---
+        "filter_project": relational.filter_project,          # M3/M4
+        "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
+        "sort_paginate": relational.sort_paginate,            # O1/O2
+        "topk_orders": relational.topk,                       # O2
+        "semi_join": relational.semi_join,                    # J1
+        "anti_join": relational.anti_join,                    # J3
+        "union_distinct": relational.union_distinct,          # D3
+        "upsert_latest": relational.upsert_last_writer,       # M6
+        "key_derivation": relational.key_derivation,          # M1
+        "broadcast_join_agg": relational.broadcast_join_agg,  # star join
+        "window_tumbling": relational.window_tumbling,        # §2.9
+        "count_group": relational.count_group,                # A1
+        "json_filter": relational.json_filter,                # M4 dot-notation
+        # --- text analysis ---
+        "token_count": text.token_count,
+        "quality_score": text.quality_score,
+        "lang_id": text.lang_id,
+        "doc_fingerprint": text.doc_fingerprint,
+        "rolling_fingerprint": text.rolling_hash_fingerprint,  # rows-only
+        # --- dedup family ---
+        "dedup_exact_text": dedup.dedup_exact_text,           # D1
+        "dedup_exact_prefix": dedup.dedup_exact_prefix,       # D1
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # rows-only
+        "simhash": dedup.simhash,                              # rows-only
+        "embed_cosine_pairs": dedup.embed_cosine_pairs,
+        # --- similarity search ---
+        "ann_topk": ann.ann_topk,
+        "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only
+        # --- multimodal (stubbed decode, real plumbing) ---
+        "media_features": multimodal.media_features,           # rows-only
+        "media_resize_plan": multimodal.media_resize_plan,     # rows-only
+        # --- crawl pipeline artifacts (rows-only; exact parity in pytest) ---
+        "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
+        "crawl_doc_stats": crawl_queries.crawl_doc_stats,
+        "crawl_span_explode": crawl_queries.crawl_span_explode,
+        "crawl_metrics": crawl_queries.crawl_metrics,
+        "crawl_seen_set": crawl_queries.crawl_seen_set,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "('the','a','of','to','and')"
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+        """,
+        "agg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "sort_paginate": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 50 OFFSET 100
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "union_distinct": """
+            SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region
+        """,
+        "upsert_latest": """
+            SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "key_derivation": """
+            SELECT s_suppkey, s_name || '_' || CAST(s_suppkey AS VARCHAR) AS derived_id
+            FROM supplier
+        """,
+        "broadcast_join_agg": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "window_tumbling": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, bucket
+        """,
+        "count_group": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "json_filter": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            GROUP BY event_type
+        """,
+        "token_count": f"""
+            SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents
+        """,
+        "quality_score": f"""
+            WITH T AS (SELECT doc_id, lower(text) AS lt, {toks} AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_filter(toks, x -> x IN {stop_list}))::BIGINT AS stop_hits,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, x -> x IN {stop_list}))::DOUBLE / len(toks)
+                        ELSE 0.0 END AS stop_ratio,
+                   len(regexp_extract_all(lt, '[^a-z0-9 ]'))::BIGINT AS punct_n
+            FROM T
+        """,
+        "lang_id": f"""
+            WITH T AS (SELECT doc_id, {toks} AS toks FROM documents),
+            S AS (SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('der','die','das'))) AS de,
+                   len(list_filter(toks, x -> x IN ('the','a','of'))) AS en,
+                   len(list_filter(toks, x -> x IN ('le','la','de'))) AS fr
+                  FROM T)
+            SELECT doc_id,
+                   CASE WHEN de = 0 AND en = 0 AND fr = 0 THEN 'unk'
+                        WHEN de >= en AND de >= fr THEN 'de'
+                        WHEN en >= fr THEN 'en'
+                        ELSE 'fr' END AS lang_pred
+            FROM S
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "dedup_exact_text": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "dedup_exact_prefix": f"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY array_to_string(list_slice({toks}, 1, 5), ' ')
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+            tri AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                FROM toksrc WHERE len(t) >= 3
+            ),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n FROM tri)
+            SELECT p.a AS doc_a, p.b AS doc_b
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a
+            JOIN sizes sb ON sb.doc_id = p.b
+            WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= 0.4
+        """,
+        "embed_cosine_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id DESC LIMIT 10
+        """,
+    }

@@ -168,6 +168,13 @@ def run_crawl(
     seen = np.sort(np.concatenate(ray.get([s.seen_hashes.remote() for s in shards])))
     for s in shards:
         ray.kill(s)
+    # persist the small summary tables (queryable artifacts of the run)
+    import pyarrow.parquet as pq
+
+    pq.write_table(metrics, os.path.join(out_dir, "metrics.parquet"))
+    pq.write_table(
+        pa.table({"url_hash": pa.array(seen)}), os.path.join(out_dir, "seen.parquet")
+    )
     n_docs = sum(
         _count_wave_rows(os.path.join(docs_dir, d))
         for d in os.listdir(docs_dir)

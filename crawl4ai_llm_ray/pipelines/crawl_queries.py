@@ -1,0 +1,120 @@
+"""Crawl-derived queries for the driver contract (rows-only checks — the
+strong correctness gate for the crawl is the oracle-parity pytest suite,
+tests/test_crawl_parity.py, which asserts exact span-sequence / order / seen
+equality).
+
+One small deterministic crawl is cached per process under /tmp and shared by
+all crawl queries.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.synth import SynthWebConfig
+from .crawl import read_docs, run_crawl
+
+_ENTRY_CFG = SynthWebConfig(seed=42, n_hosts=16, base_pages=24, n_seeds=8)
+_N_PARTITIONS = 4
+_cached_out: str | None = None
+
+
+def ensure_crawl() -> str:
+    """Run the flagship crawl once per process; reuse its output dir."""
+    global _cached_out
+    if _cached_out is None or not os.path.exists(
+        os.path.join(_cached_out, "metrics.parquet")
+    ):
+        out = tempfile.mkdtemp(prefix="crawl4ai_llm_ray_entry_")
+        run_crawl(
+            _ENTRY_CFG,
+            out,
+            n_partitions=_N_PARTITIONS,
+            fetch_concurrency=4,
+            expected_urls_per_shard=4096,
+        )
+        _cached_out = out
+    return _cached_out
+
+
+def crawl_interleaved_docs(sf_dir: str = ""):
+    """The flagship output: the interleaved document table
+    (doc_id, spans:list<struct<kind,text,media_ref,offset>>) per
+    BASELINE.json:input_hint."""
+    out = ensure_crawl()
+    return read_docs(out).select_columns(["doc_id", "spans"])
+
+
+def crawl_doc_stats(sf_dir: str = ""):
+    """Per-doc span-kind counts over the crawled interleaved table —
+    vectorized explode/count on the Arrow list column."""
+    out = ensure_crawl()
+
+    def stats(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices().to_numpy(zero_copy_only=False)
+        kinds = spans.values.field("kind").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        out_cols = {"doc_id": t["doc_id"], "url_canon": t["url_canon"], "wave": t["wave"]}
+        for kind in ("text", "image", "link"):
+            cnt = np.bincount(parent[kinds == kind], minlength=n).astype(np.int64)
+            out_cols[f"n_{kind}"] = pa.array(cnt)
+        out_cols["n_spans"] = pa.array(
+            np.bincount(parent, minlength=n).astype(np.int64)
+        )
+        return pa.table(out_cols)
+
+    return read_docs(out).map_batches(stats, batch_format="pyarrow")
+
+
+def crawl_span_explode(sf_dir: str = ""):
+    """Explode the interleaved spans into flat rows (doc_id, kind, text,
+    media_ref, offset) — zero-copy Arrow flatten via value_parent_indices."""
+    out = ensure_crawl()
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices()
+        doc_ids = t["doc_id"].take(parent)
+        vals = spans.values
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "kind": vals.field("kind"),
+                "text": vals.field("text"),
+                "media_ref": vals.field("media_ref"),
+                "offset": vals.field("offset"),
+            }
+        )
+
+    return read_docs(out).map_batches(explode, batch_format="pyarrow")
+
+
+def crawl_metrics(sf_dir: str = ""):
+    """Per-partition/per-wave frontier metrics (offered/admitted/deduped/
+    robots_blocked/fetched) — the north_rule lineage+metrics artifact."""
+    import pyarrow.parquet as pq
+
+    out = ensure_crawl()
+    t = pq.read_table(os.path.join(out, "metrics.parquet"))
+    df = t.to_pandas()
+    df = df[df[["offered", "admitted", "deduped", "robots_blocked", "fetched"]].sum(axis=1) > 0]
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def crawl_seen_set(sf_dir: str = ""):
+    """The final URL-seen set (sorted u64 hashes as int64 for Arrow/SQL)."""
+    import pyarrow.parquet as pq
+
+    out = ensure_crawl()
+    t = pq.read_table(os.path.join(out, "seen.parquet"))
+    return pa.table({"url_hash": t["url_hash"].cast(pa.uint64())})

@@ -1,0 +1,326 @@
+"""Deduplication suite over the documents table — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup. The scale-critical
+components of a training-data pipeline (each documented with its 100 TB
+shuffle strategy).
+
+The frontier's URL-level exact dedup lives in state/frontier.py; these are the
+*content-level* dedup operators (the reference has only id-equality dedup,
+``/root/reference/crawl4ai_llm/storage/json_storage.py:196-197`` — SURVEY
+§2.7 notes near-dup as an engine extension).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.hashing import fnv1a64
+from ..state.bloom import _remix
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+N_MINHASH = 64
+N_BANDS = 8  # 8 bands x 8 rows → catches Jaccard ≳ 0.5 w.h.p.
+_MINHASH_SEEDS = np.arange(1, N_MINHASH + 1, dtype=np.uint64) * np.uint64(
+    0x9E3779B97F4A7C15
+)
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        return []
+    return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    sh = _shingles(text, n)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return fnv1a64(pa.array(sh, type=pa.string()))
+
+
+# ----------------------------------------------------------------- exact dedup
+def dedup_exact_text(sf_dir: str):
+    """Exact dedup on full content: keep the min doc_id per text. The
+    canonical hash-partition + per-group-first pattern: groupby shuffles one
+    row per doc keyed by content (at scale: key on the 64-bit content hash so
+    shuffle rows are narrow, then confirm within group)."""
+    ds = _read_docs(sf_dir)
+
+    def key(t: pa.Table) -> pa.Table:
+        # narrow shuffle rows: (content_hash, doc_id) only
+        return pa.table(
+            {"k": pa.array(fnv1a64(t["text"])), "doc_id": t["doc_id"]}
+        )
+
+    survivors = (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    return survivors
+
+
+def dedup_exact_prefix(sf_dir: str, n_tokens: int = 5):
+    """Exact dedup on a first-N-tokens prefix key (produces real duplicate
+    groups on this corpus). Same shape as dedup_exact_text."""
+    ds = _read_docs(sf_dir)
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        pref = (
+            df["text"]
+            .str.lower()
+            .str.findall(_TOKEN_RE)
+            .map(lambda t: " ".join(t[:n_tokens]))
+        )
+        return pd.DataFrame({"k": pref, "doc_id": df["doc_id"]})
+
+    return (
+        ds.map_batches(key, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
+    """ALL document pairs with 3-gram-shingle Jaccard ≥ threshold, computed
+    exactly: shingle → explode (shingle_hash, doc_id) → per-shingle pair
+    emission → pair-count groupby → Jaccard filter against broadcast set
+    sizes.
+
+    Scale strategy: the per-shingle group pair emission is quadratic in
+    shingle document-frequency — at 100 TB you first drop shingles with
+    df > cap (stop-shingles, which can only connect near-identical boilerplate)
+    or pre-cluster by MinHash (minhash_lsh_pairs below) and verify only
+    candidates. Here df is bounded by the corpus so the exact form runs as-is
+    and doubles as the oracle for the MinHash path."""
+    import ray
+
+    ds = _read_docs(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_sh = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            h = _shingle_hashes(text, n)
+            rows_doc.append(np.full(len(h), did, dtype=np.int64))
+            rows_sh.append(h)
+        if not rows_doc:
+            return pd.DataFrame({"sh": np.empty(0, np.uint64), "doc_id": []})
+        return pd.DataFrame(
+            {
+                "sh": np.concatenate(rows_sh).astype(np.int64),  # groupby key
+                "doc_id": np.concatenate(rows_doc),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+
+    pairs = exploded.groupby("sh").map_groups(emit_pairs, batch_format="pandas")
+    inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+
+    # broadcast per-doc shingle-set sizes (narrow: one int per doc)
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "nsh": [len(_shingles(t, n)) for t in df["text"]],
+            }
+        )
+
+    size_parts = ds.map_batches(sizes, batch_format="pandas").take_all()
+    size_map = np.zeros(
+        max(r["doc_id"] for r in size_parts) + 1 if size_parts else 1, dtype=np.int64
+    )
+    for r in size_parts:
+        size_map[r["doc_id"]] = r["nsh"]
+    sizes_ref = ray.put(size_map)
+
+    def jaccard_filter(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(sizes_ref)
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        inter_n = df["inter"].to_numpy().astype(np.float64)
+        union = sm[a] + sm[b] - inter_n
+        jac = inter_n / union
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
+
+    return inter.map_batches(jaccard_filter, batch_format="pandas")
+
+
+# ------------------------------------------------------------- MinHash + LSH
+def _minhash_sig(sh_hashes: np.ndarray) -> np.ndarray:
+    """64 minhashes via seeded splitmix remix of the shingle hashes."""
+    if len(sh_hashes) == 0:
+        return np.full(N_MINHASH, np.uint64(0xFFFFFFFFFFFFFFFF))
+    m = _remix(sh_hashes[None, :] ^ _MINHASH_SEEDS[:, None])
+    return m.min(axis=1)
+
+
+def minhash_lsh_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard: shingle →
+    64 minhashes → 8 banded signatures → band-bucket groupby → candidate
+    pairs → exact-Jaccard verify. The scalable path (pair emission only within
+    LSH buckets); recall vs the exact ngram_jaccard_pairs is asserted in
+    tests. Rows: (doc_a, doc_b)."""
+    import ray
+
+    ds = _read_docs(sf_dir)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        docs, bands, bhash = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            sig = _minhash_sig(_shingle_hashes(text, n))
+            rows = sig.reshape(N_BANDS, -1)
+            for b in range(N_BANDS):
+                # fold the band's minhashes into one 64-bit bucket key
+                acc = np.uint64(0xCBF29CE484222325)
+                for v in rows[b]:
+                    acc = _remix(np.array([acc ^ v], dtype=np.uint64))[0]
+                docs.append(did)
+                bands.append(b)
+                bhash.append(acc)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(docs, dtype=np.int64),
+                "band": np.array(bands, dtype=np.int8),
+                "bhash": np.array(bhash, dtype=np.uint64).astype(np.int64),
+            }
+        )
+
+    banded = ds.map_batches(band_rows, batch_format="pandas")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+
+    cand = (
+        banded.groupby(["band", "bhash"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="nb"))  # dedup candidates across bands
+    )
+
+    # verify candidates with exact Jaccard via broadcast shingle sets
+    # (documents is the small side here; at 100 TB verification becomes a
+    # repartition-join of (doc_id → shingle hashes) against the candidates)
+    def shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "sh": [np.sort(_shingle_hashes(t, n)) for t in df["text"]],
+            }
+        )
+
+    parts = _read_docs(sf_dir).map_batches(shingle_sets, batch_format="pandas").take_all()
+    sets = {int(r["doc_id"]): np.asarray(r["sh"], dtype=np.uint64) for r in parts}
+    sets_ref = ray.put(sets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ss = ray.get(sets_ref)
+        keep_a, keep_b = [], []
+        for a, b in zip(df["a"], df["b"]):
+            sa, sb = ss[int(a)], ss[int(b)]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pd.DataFrame(
+            {"doc_a": np.array(keep_a, dtype=np.int64), "doc_b": np.array(keep_b, dtype=np.int64)}
+        )
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(sf_dir: str):
+    """(doc_id, simhash): 64-bit SimHash over token hashes — per-bit majority
+    vote of ±1 contributions, fully vectorized per doc. Near-dups have small
+    Hamming distance (property-tested)."""
+    ds = _read_docs(sf_dir)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(df), dtype=np.uint64)
+        for i, text in enumerate(df["text"]):
+            toks = _TOKEN_RE.findall(text.lower())
+            if not toks:
+                continue
+            h = fnv1a64(pa.array(toks, type=pa.string()))
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for b in np.flatnonzero(votes > 0):
+                sh |= np.uint64(1) << np.uint64(b)
+            out[i] = sh
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out.astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# -------------------------------------------------- embedding-cosine near-dup
+def embed_cosine_pairs(sf_dir: str, threshold: float = 0.35):
+    """All embedding pairs with cosine ≥ threshold: brute-force per batch
+    against the broadcast normalized matrix (numpy matmul). The broadcast side
+    is ray.put ONCE and read per task — never re-shipped per batch. At 10^9+
+    vectors the same stage runs after LSH/IVF bucketing (see
+    pipelines/ann.py) so each batch multiplies only against its bucket."""
+    import ray
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    M = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = tbl["vec_id"].to_numpy()
+    ref = ray.put((ids, M))
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        all_ids, allM = ray.get(ref)
+        B = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False)
+        S = B @ allM.T
+        bi, aj = np.nonzero(S >= threshold)
+        keep = bids[bi] < all_ids[aj]  # each unordered pair once
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi][keep]),
+                "vec_b": pa.array(all_ids[aj][keep]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)

@@ -1,0 +1,328 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+Each function implements one operator family from SURVEY.md §2 as an idiomatic
+Ray Data pipeline (vectorized map_batches, partial pre-aggregation before
+shuffles, broadcast small sides) and has a matching DuckDB oracle in
+``__ray_entry__.oracle_sql``.  These are the engine's general query-layer
+equivalents of the reference storage API's filter/sort/paginate/batch
+semantics (``/root/reference/crawl4ai_llm/storage/json_storage.py:609-713``).
+
+Scale notes are inline: the structure of every pipeline is chosen so it holds
+at 100 TB (no driver-side row loops over big data, shuffles only on
+pre-aggregated or dimension-sized data, broadcast joins for small sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- M3/M4: scan
+def filter_project(sf_dir: str):
+    """Vectorized predicate + projection, pruned at the read (SURVEY M3/M4).
+
+    Oracle: lineitem WHERE l_shipdate < 1996-01-01 AND l_discount > 0.05."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.greater(t["l_discount"], 0.05),
+        )
+        return t.filter(m).select(["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- A1/A3: agg + combiner
+def agg_pushdown_q1(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with partial pre-aggregation inside
+    map_batches (combiner) so the groupby shuffle moves one row per
+    (batch, group) instead of every input row (SURVEY A1/A3)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_sum_qty=("l_quantity", "sum"),
+            p_sum_base=("l_extendedprice", "sum"),
+            p_count=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_sum_qty", alias_name="sum_qty"),
+        Sum("p_sum_base", alias_name="sum_base_price"),
+        Sum("p_count", alias_name="count_order"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        df["sum_qty"] = df["sum_qty"].round(4)
+        df["sum_base_price"] = df["sum_base_price"].round(2)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ------------------------------------------------------------- O1/O2: ordering
+def sort_paginate(sf_dir: str, page: int = 3, page_size: int = 50):
+    """Whole-set sort + pagination (reference list_products contract,
+    json_storage.py:649-672). Page result is small by definition — the only
+    materialized piece."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    top = ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(
+        page * page_size
+    )
+    df = top.to_pandas().iloc[(page - 1) * page_size : page * page_size]
+    return df.reset_index(drop=True)
+
+
+def topk(sf_dir: str, k: int = 10):
+    """Top-k with deterministic tie-break (SURVEY O2)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------- J1/J3: joins
+def _order_custkeys(sf_dir: str, min_total: float | None = None) -> np.ndarray:
+    """Distinct o_custkey as a sorted array — the broadcast side of the
+    semi/anti join. At 100 TB this set is dimension-sized (distinct customers
+    with orders); were it too large, swap in the bloom filter from
+    state/bloom.py with an exact confirm pass — same pipeline shape."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def distinct_per_batch(t: pa.Table) -> pa.Table:
+        if min_total is not None:
+            t = t.filter(pc.greater(t["o_totalprice"], min_total))
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    # per-batch distinct (combiner) → tiny driver-side union
+    parts = ds.map_batches(distinct_per_batch, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["o_custkey"].to_numpy())
+
+
+def semi_join(sf_dir: str):
+    """Customers WITH orders: broadcast key-set semi-join (SURVEY J1 —
+    the reference's get_products existence pre-check, json_storage.py:349-361)."""
+    import ray
+
+    keys_ref = ray.put(_order_custkeys(sf_dir))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ck)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        return t.filter(pa.array(keys[idx_c] == ck))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join(sf_dir: str):
+    """Customers WITHOUT any high-value (>400k) order (SURVEY J3 — the
+    duplicate-reject anti-join, json_storage.py:194-197). The right side is
+    filtered so the result is non-trivial on this corpus."""
+    import ray
+
+    keys_ref = ray.put(_order_custkeys(sf_dir, min_total=400_000.0))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ck)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        return t.filter(pa.array(keys[idx_c] != ck))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ D3: union
+def union_distinct(sf_dir: str):
+    """UNION (distinct) of two sources (SURVEY D3)."""
+    a = _read(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    u = a.union(b)
+    names = sorted(set(u.unique("name")))
+    return pa.table({"name": pa.array(names, type=pa.string())})
+
+
+# ------------------------------------------------------------------ M6: upsert
+def upsert_last_writer(sf_dir: str):
+    """Last-writer-wins per key — the reference's shallow dict-merge update
+    semantics (json_storage.py:409,484) lifted to a keyed dataset: latest
+    event per user. groupby(key).map_groups with deterministic tie-break."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        return g[["user_id", "event_type", "value"]]
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+# ----------------------------------------------------------- M1: key derivation
+def key_derivation(sf_dir: str):
+    """The reference id-derivation concat `f"{store_name}_{sku}"`
+    (json_storage.py:83) vectorized with Arrow kernels."""
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        derived = pc.binary_join_element_wise(
+            t["s_name"], pc.cast(t["s_suppkey"], pa.string()), "_"
+        )
+        return pa.table({"s_suppkey": t["s_suppkey"], "derived_id": derived})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------- broadcast dimension join + aggregate
+def broadcast_join_agg(sf_dir: str):
+    """Revenue per nation: fact table joined to two broadcast dimensions
+    (ray.put once, numpy lookup per batch — no shuffle join), partial sums per
+    batch, tiny final groupby. The canonical star-join shape at 100 TB."""
+    import ray
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy()
+    order_ = np.argsort(ck)
+    cust_keys = ck[order_]
+    cust_nk = cust["c_nationkey"].to_numpy()[order_]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_to_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    bcast = ray.put((cust_keys, cust_nk))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, nk = ray.get(bcast)
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        valid = keys[pos] == ok
+        nations = nk[pos[valid]]
+        prices = t["o_totalprice"].to_numpy(zero_copy_only=False)[valid]
+        sums = np.bincount(nations, weights=prices, minlength=25)
+        nz = np.flatnonzero(sums)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nz.astype(np.int32)),
+                "p_rev": pa.array(sums[nz]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("n_nationkey").aggregate(Sum("p_rev", alias_name="revenue"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df["n_nationkey"].map(nk_to_name)
+        df["revenue"] = df["revenue"].round(2)
+        return df[["n_name", "revenue"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ------------------------------------------------------ §2.9: tumbling windows
+def window_tumbling(sf_dir: str):
+    """Tumbling 1-hour windows per event_type over the events stream table:
+    bucket = floor(epoch_seconds/3600); partial agg per batch then a small
+    grouped sum (the streaming-shaped workload from the Ray guide)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = (df["ts"].astype("int64") // 3_600_000_000).astype("int64")
+        g = (
+            df.assign(bucket=bucket)
+            .groupby(["event_type", "bucket"], as_index=False)
+            .agg(p_n=("value", "size"), p_sum=("value", "sum"))
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    agg = partials.groupby(["event_type", "bucket"]).aggregate(
+        Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_value")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def count_group(sf_dir: str):
+    """Grouped count + sum (SURVEY A1): orders per priority."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            p_n=("o_totalprice", "size"), p_total=("o_totalprice", "sum")
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_total", alias_name="total"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["total"] = df["total"].round(2)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ------------------------------------------- M4: JSON / nested-field predicate
+def json_filter(sf_dir: str):
+    """Filter on a field inside a JSON column — the reference's
+    `metadata.<field>` dot-notation filter (json_storage.py:703-709) over a
+    serialized props column. Vectorized regex extract per batch."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .astype("float")
+            .fillna(-1)
+            .astype("int64")
+        )
+        sub = df[k > 50]
+        return sub.groupby("event_type", as_index=False).agg(p_n=("props", "size"))
+
+    agg = (
+        ds.map_batches(f, batch_format="pandas", batch_size=32768)
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    return agg

@@ -1,0 +1,129 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline staples: token counting, quality scoring, language ID, document
+fingerprinting. All vectorized (pyarrow.compute regex kernels / pandas str)
+with DuckDB-oracle-compatible definitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[a-z0-9]+"
+STOPWORDS = ("the", "a", "of", "to", "and")
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "de"),
+    "de": ("der", "die", "das"),
+}
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def token_count(sf_dir: str):
+    """(doc_id, n_tokens): tokens = maximal [a-z0-9]+ runs of the lowercased
+    text. Single vectorized Arrow regex kernel per batch."""
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n = pc.count_substring_regex(low, TOKEN_RE)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str):
+    """(doc_id, n_tokens, stop_hits, stop_ratio, punct_n): cheap quality
+    signals for corpus filtering. stop_ratio is a single IEEE division of two
+    exact ints — bit-identical to the SQL oracle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n_tok = pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
+        stop_hits = None
+        for w in STOPWORDS:
+            c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
+            stop_hits = c if stop_hits is None else pc.add(stop_hits, c)
+        punct_n = pc.cast(pc.count_substring_regex(low, r"[^a-z0-9 ]"), pa.int64())
+        n_np = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
+        s_np = stop_hits.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_np > 0, s_np / n_np, 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tok,
+                "stop_hits": stop_hits,
+                "stop_ratio": pa.array(ratio),
+                "punct_n": punct_n,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    """(doc_id, lang_pred): marker-token language heuristic — argmax of
+    per-language marker hits, ties broken by language-name order, all-zero →
+    'unk'. (An n-gram model would slot into the same stage shape.)"""
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        scores = {}
+        for lang, words in LANG_MARKERS.items():
+            s = None
+            for w in words:
+                c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
+                s = c if s is None else pc.add(s, c)
+            scores[lang] = s.to_numpy(zero_copy_only=False)
+        langs = sorted(LANG_MARKERS)  # deterministic tie-break: first max wins
+        mat = np.stack([scores[lang] for lang in langs])  # (L, n)
+        best = np.argmax(mat, axis=0)
+        best_score = mat[best, np.arange(mat.shape[1])]
+        pred = np.array(langs, dtype=object)[best]
+        pred[best_score == 0] = "unk"
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(pred, type=pa.string())}
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str):
+    """(doc_id, fp): md5 content fingerprint (hex). md5 is used here because
+    the DuckDB oracle must reproduce it; the engine-internal fingerprint for
+    the frontier is the vectorized FNV-1a-64 (functions/hashing.py)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["fp"] = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in df["text"]
+        ]
+        return df[["doc_id", "fp"]]
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def rolling_hash_fingerprint(sf_dir: str):
+    """(doc_id, winnow_fp): winnowing-style fingerprint — min FNV-1a-64 hash
+    over the doc's 4-token shingles (a 1-element MinHash; rows-only check,
+    not SQL-expressible). Vectorized via the shared shingle helper."""
+    from .dedup import _shingle_hashes
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for s in df["text"]:
+            h = _shingle_hashes(s, n=4)
+            fps.append(int(h.min()) if len(h) else 0)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "winnow_fp": np.array(fps, dtype=np.uint64).astype(np.int64)}
+        )
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
