@@ -94,11 +94,43 @@ def _remove_dot_segments(path: str) -> str:
     return "/" + "/".join(segs) if path.startswith("/") or segs else "/".join(segs)
 
 
+def _vector_fixups(arr: pa.Array) -> pa.Array:
+    """Vectorized normalization of the common non-canonical patterns:
+    fragment, default port, uppercase scheme/host, trailing slash. Strings a
+    subsequent _FAST_RE match accepts are guaranteed equal to the scalar spec
+    (each fixup mirrors exactly one canonicalize_url step; anything the fixups
+    can't fully canonicalize — queries, dot segments, userinfo, odd hosts —
+    still fails the fast regex and falls through to the scalar path)."""
+    # strip fragment
+    arr = pc.replace_substring_regex(arr, r"#.*$", "")
+    # lowercase scheme + host, strip default ports (via decompose/reassemble)
+    parts = pc.extract_regex(arr, r"^(?P<s>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<h>[^/?#]*)(?P<r>[/?#].*)?$")
+    ok = pc.is_valid(parts)
+    scheme = pc.utf8_lower(parts.field("s"))
+    host = pc.utf8_lower(parts.field("h"))
+    host = pc.replace_substring_regex(host, r":80$", "")  # http default
+    is_https = pc.equal(scheme, "https")
+    host = pc.if_else(
+        is_https, pc.replace_substring_regex(host, r":443$", ""), host
+    )
+    # (an http URL with :443 keeps its port; rare → scalar path handles it)
+    rest = pc.fill_null(parts.field("r"), "/")
+    rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
+    rebuilt = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    # strip one trailing slash on a non-root path
+    rebuilt = pc.replace_substring_regex(rebuilt, r"^(https?://[^/]+(/[^/]+)+)/$", r"\1")
+    # bare host → root path
+    return pc.if_else(ok, rebuilt, arr)
+
+
 def canonicalize_urls(arr) -> pa.Array:
     """Vectorized canonicalization of a pyarrow string array.
 
-    Fast path (vectorized regex match → identity) + Python slow path for the
-    remainder. Invalid URLs → null.
+    Three tiers: (1) already-canonical fast path — vectorized regex match,
+    zero-copy identity; (2) vectorized fixups for the common messy patterns
+    (case, fragments, default ports, trailing slashes) re-checked against the
+    fast regex; (3) Python scalar spec for the remainder (queries, dot
+    segments, garbage). Invalid URLs → null.
     """
     if isinstance(arr, (list, np.ndarray)):
         arr = pa.array(arr, type=pa.string())
@@ -111,14 +143,25 @@ def canonicalize_urls(arr) -> pa.Array:
     fast_np = fast.to_numpy(zero_copy_only=False)
     if fast_np.all():
         return arr  # zero-copy: the whole batch is already canonical
+    vals = arr.to_numpy(zero_copy_only=False).copy()  # object ndarray
+
     bad_idx = np.flatnonzero(~fast_np)
-    vals = arr.to_numpy(zero_copy_only=False)  # object ndarray
-    fixed = [
-        canonicalize_url(s) if s is not None else None
-        for s in arr.take(pa.array(bad_idx)).to_pylist()
-    ]
-    vals = vals.copy()
-    vals[bad_idx] = fixed
+    bad = arr.take(pa.array(bad_idx))
+    fixed_arr = _vector_fixups(bad)
+    fixed_ok = pc.fill_null(
+        pc.match_substring_regex(fixed_arr, _FAST_RE), False
+    ).to_numpy(zero_copy_only=False)
+    vals[bad_idx[fixed_ok]] = np.asarray(
+        fixed_arr.filter(pa.array(fixed_ok)).to_pylist(), dtype=object
+    )
+
+    slow_idx = bad_idx[~fixed_ok]
+    if len(slow_idx):
+        fixed = [
+            canonicalize_url(s) if s is not None else None
+            for s in arr.take(pa.array(slow_idx)).to_pylist()
+        ]
+        vals[slow_idx] = fixed
     return pa.array(vals, type=pa.string(), from_pandas=True)
 
 

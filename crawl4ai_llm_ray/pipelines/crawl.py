@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from ..sources.synth import SynthWebConfig, robots_rules, seed_table
+from ..sources.synth import SynthWebConfig, _pages_per_host, robots_rules, seed_table
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.fetch import FetcherWorker
 from ..state.frontier import FrontierShard
@@ -54,6 +54,7 @@ class CrawlResult:
     seen_hashes: np.ndarray
     metrics: pa.Table
     wave_counts: list[int] = field(default_factory=list)
+    phase_secs: dict = field(default_factory=dict)  # telemetry: where time went
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -70,6 +71,10 @@ def run_crawl(
     max_waves: int | None = None,
     resume: bool = False,
     expected_urls_per_shard: int = 1 << 15,
+    checkpoint_interval: int = 1,
+    wave_block_rows: int = 4096,
+    inline_wave_rows: int = 2000,
+    small_wave_rows: int = 40000,
 ) -> CrawlResult:
     """Run (or resume) the crawl. Ray must already be initialised."""
     import ray
@@ -81,7 +86,11 @@ def run_crawl(
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(docs_dir, exist_ok=True)
 
-    ShardActor = ray.remote(FrontierShard)
+    # shard actors are short-burst bookkeeping: reserve NO CPU so P shards
+    # never starve the fetch stage of scheduling slots (they would deadlock a
+    # small cluster otherwise); their vectorized work is brief enough that
+    # oversubscription is harmless
+    ShardActor = ray.remote(num_cpus=0)(FrontierShard)
 
     manifest = None
     if resume and os.path.exists(_manifest_path(out_dir)):
@@ -115,11 +124,18 @@ def run_crawl(
         for p in range(n_partitions):
             path = os.path.join(ckpt_dir, f"shard_{p:05d}.ckpt")
             shards.append(_restore_shard_actor(ShardActor, path))
-        # wipe any partial output of the wave being re-run
+        # wipe any output at/after the checkpointed wave (with
+        # checkpoint_interval > 1 several completed-but-unckpt'ed waves are
+        # deterministically re-run)
         for name in os.listdir(docs_dir):
-            if name.startswith(".tmp_wave_") or name == f"wave_{start_wave:05d}":
+            if name.startswith(".tmp_wave_") or (
+                name.startswith("wave_") and int(name[5:]) >= start_wave
+            ):
                 shutil.rmtree(os.path.join(docs_dir, name), ignore_errors=True)
 
+    import time as _time
+
+    phase = {"queue_poll": 0.0, "checkpoint": 0.0, "drain": 0.0, "fetch_write": 0.0, "bookkeep": 0.0}
     wave_counts: list[int] = []
     t = start_wave
     stopped_early = False
@@ -127,32 +143,98 @@ def run_crawl(
         if max_waves is not None and t >= start_wave + max_waves:
             stopped_early = True
             break
+        t0 = _time.time()
         qs = ray.get([s.queue_size.remote() for s in shards])
+        phase["queue_poll"] += _time.time() - t0
         if sum(qs) == 0:
             break
+        # Tail waves (BFS stragglers) are not worth a Dataset execution's
+        # fixed cost (executor spin-up ~0.2-1s): tiny waves run inline on the
+        # driver, mid-size waves as plain Ray tasks over the same blocks and
+        # the same FetcherWorker — identical semantics, cheaper launch. Big
+        # waves use the Dataset path (streaming executor + backpressure).
+        inline_wave = sum(qs) <= inline_wave_rows
+        small_wave = sum(qs) <= small_wave_rows
 
         # --- start-of-wave checkpoint (atomic) + manifest ---
-        ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
-        _write_manifest(out_dir, {"next_wave": t, "n_partitions": n_partitions})
-
-        # --- drain wave t from every shard (politeness-ordered) ---
-        refs = [s.next_wave.remote(wave_duration) for s in shards]
-        wave_ds = rd.from_arrow_refs(refs)
+        t0 = _time.time()
+        if t % checkpoint_interval == 0:
+            ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
+            _write_manifest(out_dir, {"next_wave": t, "n_partitions": n_partitions})
+        phase["checkpoint"] += _time.time() - t0
 
         worker = FetcherWorker(cfg, shards=shards, n_partitions=n_partitions)
-        fetched = wave_ds.map_batches(
-            worker,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=fetch_concurrency,
-        )
         tmp = os.path.join(docs_dir, f".tmp_wave_{t:05d}")
         final = os.path.join(docs_dir, f"wave_{t:05d}")
         shutil.rmtree(tmp, ignore_errors=True)
-        fetched.write_parquet(tmp)
-        os.replace(tmp, final)  # atomic wave commit
+
+        if inline_wave:
+            import pyarrow.parquet as pq
+
+            t0 = _time.time()
+            tables = ray.get([s.next_wave.remote(wave_duration) for s in shards])
+            wave_tbl = pa.concat_tables([x for x in tables if x.num_rows])
+            phase["drain"] += _time.time() - t0
+            t0 = _time.time()
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(worker(wave_tbl), os.path.join(tmp, "part-0.parquet"))
+            os.replace(tmp, final)
+            phase["fetch_write"] += _time.time() - t0
+        elif small_wave:
+            t0 = _time.time()
+            gens = [
+                s.next_wave_blocks.options(num_returns="dynamic").remote(
+                    wave_duration, wave_block_rows
+                )
+                for s in shards
+            ]
+            refs = [r for g in ray.get(gens) for r in g]
+            phase["drain"] += _time.time() - t0
+            t0 = _time.time()
+            os.makedirs(tmp, exist_ok=True)
+            ray.get(
+                [
+                    _fetch_block_task.remote(
+                        worker, r, os.path.join(tmp, f"part-{i}.parquet")
+                    )
+                    for i, r in enumerate(refs)
+                ]
+            )
+            os.replace(tmp, final)
+            phase["fetch_write"] += _time.time() - t0
+        else:
+            # --- drain wave t from every shard (politeness-ordered) ---
+            # dynamic returns: a hot shard's wave arrives as several blocks so
+            # the fetch stage's parallelism isn't capped at n_partitions
+            t0 = _time.time()
+            gens = [
+                s.next_wave_blocks.options(num_returns="dynamic").remote(
+                    wave_duration, wave_block_rows
+                )
+                for s in shards
+            ]
+            refs = [r for g in ray.get(gens) for r in g]
+            wave_ds = rd.from_arrow_refs(refs)
+            phase["drain"] += _time.time() - t0
+
+            t0 = _time.time()
+            fetched = wave_ds.map_batches(
+                worker,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=fetch_concurrency,
+            )
+            fetched.write_parquet(tmp)
+            os.replace(tmp, final)  # atomic wave commit
+            phase["fetch_write"] += _time.time() - t0
+            if os.environ.get("GRAFT_CRAWL_DEBUG"):
+                print(f"[wave {t}] rows={sum(qs)} fetch_write={_time.time()-t0:.2f}s")
+                if t == 6:
+                    print(fetched.stats())
+        t0 = _time.time()
         wave_counts.append(_count_wave_rows(final))
         _append_lineage(out_dir, t, final)
+        phase["bookkeep"] += _time.time() - t0
         t += 1
 
     if not stopped_early:
@@ -187,7 +269,22 @@ def run_crawl(
         seen_hashes=seen,
         metrics=metrics,
         wave_counts=wave_counts,
+        phase_secs={k: round(v, 2) for k, v in phase.items()},
     )
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _fetch_block_task(worker, tbl: pa.Table, path: str) -> int:
+    """Raw-task fetch of one wave block (small-wave path): same FetcherWorker
+    body as the Dataset path, one parquet fragment per block."""
+    import pyarrow.parquet as pq
+
+    out = worker(tbl)
+    pq.write_table(out, path)
+    return out.num_rows
 
 
 def _restore_shard_actor(ShardActor, ckpt_path: str):
@@ -219,6 +316,150 @@ def _count_wave_rows(wave_dir: str) -> int:
         if name.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(wave_dir, name)).metadata.num_rows
     return total
+
+
+def run_frontier_drain(
+    cfg: SynthWebConfig,
+    out_dir: str,
+    n_partitions: int = 16,
+    wave_duration: float = 65536.0,
+    fetch_concurrency: int = 32,
+    batch_size: int = 4096,
+    wave_block_rows: int = 4096,
+    dup_factor: float = 0.25,
+    expected_urls_per_shard: int = 1 << 17,
+) -> CrawlResult:
+    """Drain benchmark (the BASELINE.json headline metric shape): a known
+    frontier of every corpus URL — plus ``dup_factor`` duplicate messy
+    variants — is ingested through canonicalize+hash → shard-routed seen-set
+    dedup (the fetched+DEDUPED part of the metric), then drained in
+    politeness-ordered waves through the fetch+span-decompose stage with no
+    link loopback. Pure streaming: frontier ingest is a Dataset map_batches
+    that offers to shards; the drain is the same wave machinery as run_crawl.
+    """
+    import time as _time
+
+    import ray
+    import ray.data as rd
+
+    robots = robots_rules(cfg)
+    docs_dir = os.path.join(out_dir, "docs")
+    os.makedirs(docs_dir, exist_ok=True)
+    ShardActor = ray.remote(num_cpus=0)(FrontierShard)
+    shards = [
+        ShardActor.remote(p, n_partitions, robots, expected_urls=expected_urls_per_shard)
+        for p in range(n_partitions)
+    ]
+    phase = {"ingest": 0.0, "drain": 0.0, "fetch_write": 0.0}
+
+    # --- frontier ingest: enumerate all URLs + dup variants, canonicalize,
+    # route, offer (the dedup stage) ---
+    t0 = _time.time()
+    npages = _pages_per_host(cfg)
+    bounds = np.concatenate([[0], np.cumsum(npages)])
+    total = int(bounds[-1])
+    bounds_ref = ray.put(bounds)
+    shards_ref = ray.put(shards)
+
+    def make_urls(batch: dict) -> pa.Table:
+        b = ray.get(bounds_ref)
+        ids = batch["id"]
+        hi = (np.searchsorted(b, ids, side="right") - 1).astype(np.int64)
+        pj = (ids - b[hi]).astype(np.int64)
+        urls = [f"http://h{h:03d}.test/p/{p}" for h, p in zip(hi, pj)]
+        # dup_factor messy variants appended (dedup work for the seen set)
+        ndup = int(len(urls) * dup_factor)
+        variants = [
+            [
+                "http://" + u[7:].split("/", 1)[0].upper() + "/" + u[7:].split("/", 1)[1],
+                u + "/",
+                u + "#x",
+                u.replace(".test/", ".test:80/", 1),
+            ][i % 4]
+            for i, u in enumerate(urls[:ndup])
+        ]
+        depth = np.zeros(len(urls) + ndup, dtype=np.int32)
+        return pa.table(
+            {
+                "url": pa.array(urls + variants, type=pa.string()),
+                "priority": pa.array(np.ones(len(urls) + ndup, dtype=np.float32)),
+                "depth": pa.array(depth),
+            }
+        )
+
+    def route_and_offer(t: pa.Table) -> pa.Table:
+        sh = ray.get(shards_ref)
+        routed = canonicalize_batch(t, n_partitions)
+        pid = routed["partition_id"].to_numpy(zero_copy_only=False)
+        refs = [
+            sh[int(p)].offer.remote(routed.filter(pa.array(pid == p)))
+            for p in np.unique(pid)
+        ]
+        counts = ray.get(refs)
+        return pa.table(
+            {
+                "offered": pa.array([sum(c["offered"] for c in counts)], type=pa.int64()),
+                "admitted": pa.array([sum(c["admitted"] for c in counts)], type=pa.int64()),
+            }
+        )
+
+    ingest = (
+        rd.range(total)
+        .map_batches(make_urls, batch_format="numpy", batch_size=batch_size)
+        .map_batches(route_and_offer, batch_format="pyarrow", batch_size=batch_size)
+        .sum(["offered", "admitted"])
+    )
+    offered = int(ingest["sum(offered)"])
+    phase["ingest"] = _time.time() - t0
+
+    # --- drain ALL waves up front (politeness order is virtual-time columns;
+    # with no link loopback, wave t+1 never depends on wave t's fetches), then
+    # fetch+decompose+write in ONE Dataset streaming execution — the priority
+    # queue drained through the streaming executor with backpressure, no
+    # per-wave barriers ---
+    worker = FetcherWorker(cfg, shards=None, n_partitions=n_partitions)
+    t = 0
+    wave_counts = []
+    all_refs = []
+    t0 = _time.time()
+    while True:
+        qs = ray.get([s.queue_size.remote() for s in shards])
+        if sum(qs) == 0:
+            break
+        gens = [
+            s.next_wave_blocks.options(num_returns="dynamic").remote(
+                wave_duration, wave_block_rows
+            )
+            for s in shards
+        ]
+        all_refs.extend(r for g in ray.get(gens) for r in g)
+        wave_counts.append(sum(qs))
+        t += 1
+    phase["drain"] += _time.time() - t0
+
+    t0 = _time.time()
+    rd.from_arrow_refs(all_refs).map_batches(
+        worker,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=fetch_concurrency,
+    ).write_parquet(docs_dir)
+    phase["fetch_write"] += _time.time() - t0
+
+    metrics = pa.concat_tables(ray.get([s.metrics_table.remote() for s in shards]))
+    for s in shards:
+        ray.kill(s)
+    res = CrawlResult(
+        out_dir=out_dir,
+        n_waves=t,
+        n_docs=int(sum(wave_counts)),
+        seen_hashes=np.empty(0, dtype=np.uint64),
+        metrics=metrics,
+        wave_counts=wave_counts,
+        phase_secs={k: round(v, 2) for k, v in phase.items()},
+    )
+    res.phase_secs["offered"] = offered
+    return res
 
 
 def read_docs(out_dir: str):

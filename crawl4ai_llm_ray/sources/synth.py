@@ -1,11 +1,12 @@
 """Deterministic synthetic web corpus (FIXTURES.md F1-F4).
 
-The web is a *pure function* of ``(url, SynthWebConfig)``: page content (span
-sequence + outlinks) is generated from a PCG64 stream seeded by the stable
-FNV-1a-64 hash of the URL.  This is the key scale property — the fetch stage
-can "fetch" any URL on any worker with zero broadcast state (just the ~100-byte
-config), exactly like a real fetcher needs only the URL.  The oracle crawler
-and the Ray engine therefore see byte-identical pages by construction.
+The web is a *pure function* of ``(url, SynthWebConfig)``: every page's span
+sequence and outlinks derive from splitmix64 mixes of the URL's stable
+FNV-1a-64 hash — no sequential RNG streams, so page generation is fully
+VECTORIZABLE over a batch of URLs (``fetch_pages``).  This is the key scale
+property: the fetch stage "fetches" any batch of URLs on any worker with zero
+broadcast state, at ~10-30 µs/page, and the oracle crawler sees byte-identical
+pages because it calls the same function.
 
 Shape (per FIXTURES.md): hosts with Zipf-skewed page counts (hot-host skew on
 purpose), 3-40 spans/doc, ~30% text-only docs, ~5% media-only; link spans
@@ -16,14 +17,16 @@ robots-disallowed paths, dead links (404), and cross-host edges.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.hashing import fnv1a64_scalar
+from ..functions.hashing import fnv1a64, fnv1a64_scalar
 from ..schema import ROBOTS_SCHEMA, SEED_SCHEMA
+from ..state.bloom import _remix
 
 _VOCAB = (
     "the quick brown fox jumps over lazy dog data stream arrow batch shard "
@@ -34,6 +37,17 @@ _VOCAB = (
     "white north south east west spring summer autumn winter river mountain "
     "valley ocean forest desert island harbor bridge tower castle garden"
 ).split()
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_U64 = np.uint64
+
+
+def _mix(h: np.ndarray, tag) -> np.ndarray:
+    """Deterministic per-(page, span, purpose) stream: splitmix64 finalizer of
+    h ^ (tag+1)*GOLDEN. h and tag may broadcast."""
+    with np.errstate(over="ignore"):
+        t = (np.asarray(tag, dtype=np.uint64) + _U64(1)) * _GOLDEN
+        return _remix(np.asarray(h, dtype=np.uint64) ^ t)
 
 
 @dataclass(frozen=True)
@@ -55,86 +69,347 @@ class SynthWebConfig:
         return f"h{host_idx:03d}.test"
 
     def url(self, host_idx: int, page_idx: int) -> str:
-        return f"http://{self.host(host_idx)}/p/{page_idx}"
+        return f"http://h{host_idx:03d}.test/p/{page_idx}"
 
     @property
     def total_pages(self) -> int:
-        return sum(self.n_pages(i) for i in range(self.n_hosts))
+        return int(_pages_per_host(self).sum())
 
 
-_URL_RE = re.compile(r"^http://h(\d{3})\.test/p/(\d+)$")
+@lru_cache(maxsize=8)
+def _pages_per_host_cached(seed, n_hosts, base_pages, zipf_a) -> np.ndarray:
+    i = np.arange(n_hosts, dtype=np.float64)
+    return np.maximum(1, (base_pages / (i + 1) ** zipf_a).astype(np.int64))
 
 
-def _rng_for(cfg: SynthWebConfig, url_canon: str) -> np.random.Generator:
-    return np.random.Generator(
-        np.random.PCG64(fnv1a64_scalar(f"{cfg.seed}|{url_canon}"))
+def _pages_per_host(cfg: SynthWebConfig) -> np.ndarray:
+    return _pages_per_host_cached(cfg.seed, cfg.n_hosts, cfg.base_pages, cfg.zipf_a)
+
+
+@lru_cache(maxsize=8)
+def _token_stream(seed: int):
+    """Deterministic pseudo-text stream: 4096 vocab words in a mixed order,
+    pre-joined with word-boundary offsets for O(1) span-text slicing.
+    Returns (bigtext str, token offsets, byte pool, vocab-word byte ranges):
+    the byte pool is bigtext + all vocab words, so every span text (token
+    windows, alt words, anchors) is a (start, len) range into ONE static
+    buffer — enabling zero-Python-string Arrow assembly."""
+    n = 4096
+    idx = (_mix(np.full(n, _U64(fnv1a64_scalar(f"{seed}|tokens"))), np.arange(n))
+           % _U64(len(_VOCAB))).astype(np.int64)
+    words = [_VOCAB[i] for i in idx]
+    bigtext = " ".join(words)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    pos = 0
+    for i, w in enumerate(words):
+        offs[i] = pos
+        pos += len(w) + 1
+    offs[n] = pos
+    pool = bigtext + " " + " ".join(_VOCAB)
+    pool_bytes = np.frombuffer(pool.encode("ascii"), dtype=np.uint8)
+    vocab_start = np.zeros(len(_VOCAB), dtype=np.int64)
+    vocab_len = np.zeros(len(_VOCAB), dtype=np.int64)
+    p = len(bigtext) + 1
+    for i, w in enumerate(_VOCAB):
+        vocab_start[i] = p
+        vocab_len[i] = len(w)
+        p += len(w) + 1
+    return bigtext, offs, pool_bytes, (vocab_start, vocab_len)
+
+
+def _gather_ranges(pool: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Build a pyarrow string array whose i-th value is
+    pool[starts[i]:starts[i]+lens[i]] — fully vectorized (repeat/cumsum range
+    gather, no per-row Python)."""
+    n = len(starts)
+    total = int(lens.sum())
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    if total:
+        # flat index: for each row, starts[i] + (0..lens[i]-1)
+        shift = np.repeat(starts - offsets[:-1], lens)
+        idx = np.arange(total, dtype=np.int64) + shift
+        data = pool[idx]
+    else:
+        data = np.empty(0, dtype=np.uint8)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
     )
 
 
-def _messy_variant(url: str, rng: np.random.Generator) -> str:
-    """Emit a non-canonical variant of a canonical URL (dedup stress)."""
-    host, rest = url.split("//", 1)[1].split("/", 1)
-    kind = int(rng.integers(0, 5))
-    if kind == 0:
-        return f"http://{host.upper()}/{rest}"
-    if kind == 1:
-        return f"http://{host}:80/{rest}"
-    if kind == 2:
-        return f"{url}/"
-    if kind == 3:
-        return f"{url}#sec{int(rng.integers(0, 9))}"
-    return f"{url}?b={int(rng.integers(0, 3))}&a=1&b={int(rng.integers(0, 3))}"
+def _string_array_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], data uint8[]) of a string array (offset-0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.offset:
+        arr = pa.concat_arrays([arr])
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1).astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    return offs, data
+
+
+def _compose_scatter(total: int, pieces) -> pa.Array:
+    """Scatter several string arrays into one of length ``total`` ("" at
+    unfilled positions) without creating Python strings: concatenate the
+    source byte buffers into one pool, scatter (start, len) ints with numpy,
+    gather once."""
+    starts = np.zeros(total, dtype=np.int64)
+    lens = np.zeros(total, dtype=np.int64)
+    bufs = []
+    base = 0
+    for idx, arr in pieces:
+        offs, data = _string_array_parts(arr)
+        starts[idx] = base + offs[:-1]
+        lens[idx] = np.diff(offs)
+        bufs.append(data)
+        base += len(data)
+    pool = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
+    return _gather_ranges(pool, starts, lens)
+
+
+def _seed64(cfg: SynthWebConfig) -> np.uint64:
+    return _U64(fnv1a64_scalar(f"{cfg.seed}|corpus"))
+
+
+_URL_PARSE_RE = r"^http://h(?P<h>\d{3})\.test/p/(?P<p>\d+)$"
+
+
+def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
+    """Vectorized simulated fetch of a batch of canonical URLs.
+
+    Returns dict with per-page arrays (status:int32, span_counts:int64) and
+    flat per-span Arrow string arrays (kind/text/media_ref) plus offset:int32,
+    in page order — assembled entirely from Arrow kernels and numpy byte-pool
+    gathers (zero per-span Python strings)."""
+    if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = pa.array(list(urls), type=pa.string())
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    n = len(urls)
+    if n == 0:
+        return {
+            "status": np.empty(0, np.int32),
+            "span_counts": np.empty(0, np.int64),
+            "kind": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string()),
+            "media_ref": pa.array([], type=pa.string()),
+            "offset": np.empty(0, np.int32),
+        }
+    parsed = pc.extract_regex(urls, _URL_PARSE_RE)
+    ok = pc.is_valid(parsed).to_numpy(zero_copy_only=False)
+    hi = np.full(n, -1, dtype=np.int64)
+    pj = np.full(n, -1, dtype=np.int64)
+    if ok.any():
+        st = parsed.filter(pa.array(ok))
+        hi[ok] = np.array(st.field(0).to_pylist(), dtype=np.int64)
+        pj[ok] = np.array(st.field(1).to_pylist(), dtype=np.int64)
+    npages = _pages_per_host(cfg)
+    exists = ok & (hi >= 0) & (hi < cfg.n_hosts)
+    exists[exists] &= pj[exists] < npages[hi[exists]]
+    status = np.where(exists, 200, 404).astype(np.int32)
+
+    # --- per existing page streams ---
+    e_idx = np.flatnonzero(exists)
+    ne = len(e_idx)
+    span_counts = np.zeros(n, dtype=np.int64)
+    if ne == 0:
+        return {
+            "status": status,
+            "span_counts": span_counts,
+            "kind": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string()),
+            "media_ref": pa.array([], type=pa.string()),
+            "offset": np.empty(0, np.int32),
+        }
+    H = _remix(fnv1a64(urls.take(pa.array(e_idx))) ^ _seed64(cfg))
+    n_spans = (3 + (_mix(H, 1) % _U64(38))).astype(np.int64)
+    mode = (_mix(H, 2) % _U64(100)).astype(np.int64)  # <30 text-only, <35 media-only
+    span_counts[e_idx] = n_spans
+
+    total = int(n_spans.sum())
+    Hf = np.repeat(H, n_spans)
+    hi_f = np.repeat(hi[e_idx], n_spans)
+    pj_f = np.repeat(pj[e_idx], n_spans)
+    mode_f = np.repeat(mode, n_spans)
+    starts = np.concatenate([[0], np.cumsum(n_spans)[:-1]])
+    K = (np.arange(total, dtype=np.int64) - np.repeat(starts, n_spans)).astype(np.uint64)
+
+    r_kind = _mix(Hf, K * _U64(3) + _U64(11)) % _U64(1000)
+    # doc modes: text-only (80% text / 20% link), media-only (70% image / 30%
+    # link), interleaved (55% text / 20% image / 25% link)
+    KIND_TEXT, KIND_IMAGE, KIND_LINK = 0, 1, 2
+    kind_code = np.where(
+        mode_f < 30,
+        np.where(r_kind < 800, KIND_TEXT, KIND_LINK),
+        np.where(
+            mode_f < 35,
+            np.where(r_kind < 700, KIND_IMAGE, KIND_LINK),
+            np.select(
+                [r_kind < 550, r_kind < 750], [KIND_TEXT, KIND_IMAGE], KIND_LINK
+            ),
+        ),
+    )
+
+    bigtext, toks, pool, (vstart, vlen) = _token_stream(cfg.seed)
+    ntok = len(toks) - 1
+    empty_start = np.int64(0)
+
+    # ---- text content for ALL spans as (start, len) ranges into the byte
+    # pool — one vectorized gather, zero per-span Python strings ----
+    txt_start = np.zeros(total, dtype=np.int64)
+    txt_len = np.zeros(total, dtype=np.int64)
+
+    is_text = kind_code == KIND_TEXT
+    if is_text.any():
+        Ht, Kt = Hf[is_text], K[is_text]
+        s = (_mix(Ht, Kt * _U64(3) + _U64(12)) % _U64(ntok - 20)).astype(np.int64)
+        nw = (4 + (_mix(Ht, Kt * _U64(3) + _U64(13)) % _U64(12))).astype(np.int64)
+        txt_start[is_text] = toks[s]
+        txt_len[is_text] = toks[s + nw] - 1 - toks[s]
+
+    is_image = kind_code == KIND_IMAGE
+    cdn = alt_w = has_alt = None
+    if is_image.any():
+        Hi, Ki = Hf[is_image], K[is_image]
+        cdn = (_mix(Hi, Ki * _U64(3) + _U64(14)) % _U64(4)).astype(np.int64)
+        alt_r = _mix(Hi, Ki * _U64(3) + _U64(15))
+        alt_w = (alt_r % _U64(len(_VOCAB))).astype(np.int64)
+        has_alt = (alt_r % _U64(1000)) < 500
+        txt_start[is_image] = np.where(has_alt, vstart[alt_w], empty_start)
+        txt_len[is_image] = np.where(has_alt, vlen[alt_w], 0)
+
+    is_link = kind_code == KIND_LINK
+    if is_link.any():
+        Hl, Kl = Hf[is_link], K[is_link]
+        base = Kl * _U64(3) + _U64(16)
+        anchor_w = (_mix(Hl, base + _U64(5)) % _U64(len(_VOCAB))).astype(np.int64)
+        txt_start[is_link] = vstart[anchor_w]
+        txt_len[is_link] = vlen[anchor_w]
+
+    text_arr = _gather_ranges(pool, txt_start, txt_len)
+
+    # ---- kind column: dictionary take (vectorized) ----
+    kind_arr = pc.take(
+        pa.array(["text", "image", "link"], type=pa.string()),
+        pa.array(kind_code.astype(np.int32)),
+    )
+
+    # ---- media_ref column: Arrow string kernels (casts, lpad, joins),
+    # scattered into place via one byte-pool gather ----
+    ref_pieces = []
+    if is_image.any():
+        ii = np.flatnonzero(is_image)
+        img_refs = pc.binary_join_element_wise(
+            "http://cdn",
+            pc.cast(pa.array(cdn), pa.string()),
+            ".test/img/",
+            pc.cast(pa.array(hi_f[ii]), pa.string()),
+            "_",
+            pc.cast(pa.array(pj_f[ii]), pa.string()),
+            "_",
+            pc.cast(pa.array(K[ii].astype(np.int64)), pa.string()),
+            ".jpg",
+            "",
+        )
+        ref_pieces.append((ii, img_refs))
+    if is_link.any():
+        li = np.flatnonzero(is_link)
+        Hl, Kl = Hf[is_link], K[is_link]
+        base = Kl * _U64(3) + _U64(16)
+        m1 = _mix(Hl, base)            # cross-host decision + target host
+        m2 = _mix(Hl, base + _U64(1))  # private/dead decision
+        m3 = _mix(Hl, base + _U64(2))  # target page
+        m4 = _mix(Hl, base + _U64(3))  # messy decision + variant kind
+        m5 = _mix(Hl, base + _U64(4))  # variant params
+
+        cross = (m1 % _U64(1000)) < int(cfg.p_cross_host * 1000)
+        th = np.where(
+            cross, (m1 >> _U64(10)) % _U64(cfg.n_hosts), hi_f[is_link].astype(np.uint64)
+        ).astype(np.int64)
+        r2 = m2 % _U64(1000)
+        private = (r2 < int(cfg.p_private_link * 1000)).astype(bool)
+        dead = (~private) & (
+            r2 < int((cfg.p_private_link + cfg.p_dead_link) * 1000)
+        ).astype(bool)
+        np_th = npages[th]
+        tp = (m3 % np_th.astype(np.uint64)).astype(np.int64)
+        tp_dead = np_th + (m3 % _U64(5)).astype(np.int64)
+        pv = ((m2 >> _U64(10)) % _U64(5)).astype(np.int64)
+        messy = (m4 % _U64(1000)) < int(cfg.p_messy_link * 1000)
+        variant = ((m4 >> _U64(10)) % _U64(5)).astype(np.int64)
+        v5a = (m5 % _U64(3)).astype(np.int64)
+        v5b = ((m5 >> _U64(8)) % _U64(3)).astype(np.int64)
+        v5c = ((m5 >> _U64(16)) % _U64(9)).astype(np.int64)
+
+        hostpart = pc.binary_join_element_wise(
+            "h",
+            pc.utf8_lpad(pc.cast(pa.array(th), pa.string()), 3, "0"),
+            ".test",
+            "",
+        )
+        page_no = np.where(private, pv, np.where(dead, tp_dead, tp))
+        pathpart = pc.binary_join_element_wise(
+            pc.if_else(pa.array(private), "/private/p/", "/p/"),
+            pc.cast(pa.array(page_no), pa.string()),
+            "",
+        )
+        canon = pc.binary_join_element_wise("http://", hostpart, pathpart, "")
+        # messy variants, each fully vectorized
+        upper_v = pc.binary_join_element_wise(
+            "http://", pc.utf8_upper(hostpart), pathpart, ""
+        )
+        port_v = pc.binary_join_element_wise(
+            "http://", hostpart, ":80", pathpart, ""
+        )
+        slash_v = pc.binary_join_element_wise(canon, "/", "")
+        frag_v = pc.binary_join_element_wise(
+            canon, "#sec", pc.cast(pa.array(v5c), pa.string()), ""
+        )
+        query_v = pc.binary_join_element_wise(
+            canon,
+            "?b=",
+            pc.cast(pa.array(v5a), pa.string()),
+            "&a=1&b=",
+            pc.cast(pa.array(v5b), pa.string()),
+            "",
+        )
+        target = canon
+        for v, vals in enumerate([upper_v, port_v, slash_v, frag_v, query_v]):
+            mask = pa.array(messy & (variant == v))
+            target = pc.if_else(mask, vals, target)
+        ref_pieces.append((li, target))
+
+    ref_arr = _compose_scatter(total, ref_pieces)
+
+    return {
+        "status": status,
+        "span_counts": span_counts,
+        "kind": kind_arr,
+        "text": text_arr,
+        "media_ref": ref_arr,
+        "offset": K.astype(np.int32),
+    }
 
 
 def fetch_page(cfg: SynthWebConfig, url_canon: str):
-    """Simulated fetch. Returns (status, spans) where spans is a list of
-    (kind, text, media_ref, offset) tuples. Links appear as kind="link" spans
-    whose media_ref is the (possibly messy) target URL."""
-    m = _URL_RE.match(url_canon)
-    if not m:
-        return 404, []
-    hi, pj = int(m.group(1)), int(m.group(2))
-    if hi >= cfg.n_hosts or pj >= cfg.n_pages(hi):
-        return 404, []
-    rng = _rng_for(cfg, url_canon)
-    mode = rng.random()
-    # doc mode: ~30% text-only, ~5% media-only, rest interleaved
-    text_only = mode < 0.30
-    media_only = 0.30 <= mode < 0.35
-    n_spans = int(rng.integers(3, 41))
-    spans = []
-    for k in range(n_spans):
-        r = rng.random()
-        if media_only:
-            sp_kind = "image" if r < 0.7 else "link"
-        elif text_only:
-            sp_kind = "text" if r < 0.8 else "link"  # links are not media
-        else:
-            sp_kind = "text" if r < 0.55 else ("image" if r < 0.75 else "link")
-        if sp_kind == "text":
-            nw = int(rng.integers(4, 16))
-            words = [_VOCAB[int(w)] for w in rng.integers(0, len(_VOCAB), nw)]
-            spans.append(("text", " ".join(words), "", k))
-        elif sp_kind == "image":
-            img = f"http://cdn{int(rng.integers(0, 4))}.test/img/{hi}_{pj}_{k}.jpg"
-            alt = _VOCAB[int(rng.integers(0, len(_VOCAB)))] if rng.random() < 0.5 else ""
-            spans.append(("image", alt, img, k))
-        else:  # link
-            if rng.random() < cfg.p_cross_host:
-                th = int(rng.integers(0, cfg.n_hosts))
-            else:
-                th = hi
-            if rng.random() < cfg.p_private_link:
-                target = f"http://{cfg.host(th)}/private/p/{int(rng.integers(0, 5))}"
-            elif rng.random() < cfg.p_dead_link:
-                target = cfg.url(th, cfg.n_pages(th) + int(rng.integers(0, 5)))
-            else:
-                target = cfg.url(th, int(rng.integers(0, cfg.n_pages(th))))
-            if rng.random() < cfg.p_messy_link:
-                target = _messy_variant(target, rng)
-            anchor = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
-            spans.append(("link", anchor, target, k))
-    return 200, spans
+    """Scalar fetch (oracle interface): (status, [(kind, text, media_ref,
+    offset), ...]). Thin wrapper over the vectorized fetch_pages — batch
+    composition cannot change page content (pure per-URL streams)."""
+    out = fetch_pages(cfg, [url_canon])
+    status = int(out["status"][0])
+    spans = [
+        (k, t, r, int(o))
+        for k, t, r, o in zip(
+            out["kind"].to_pylist(),
+            out["text"].to_pylist(),
+            out["media_ref"].to_pylist(),
+            out["offset"],
+        )
+    ]
+    return status, spans
 
 
 def robots_rules(cfg: SynthWebConfig) -> dict[str, tuple[tuple[str, ...], float]]:
@@ -168,15 +443,23 @@ def robots_table(cfg: SynthWebConfig) -> pa.Table:
 
 def seed_table(cfg: SynthWebConfig) -> pa.Table:
     """F2 seed table: page-0 of the top hosts, with messy duplicates mixed in."""
-    rng = np.random.Generator(np.random.PCG64(fnv1a64_scalar(f"{cfg.seed}|seeds")))
     urls, prios, depths = [], [], []
     for i in range(min(cfg.n_seeds, cfg.n_hosts)):
         u = cfg.url(i, 0)
         urls.append(u)
         prios.append(1.0)
         depths.append(0)
-        if rng.random() < 0.5:  # duplicate seed as a messy variant
-            urls.append(_messy_variant(u, rng))
+        m = int(_mix(np.array([_seed64(cfg)]), np.uint64(1000 + i))[0])
+        if m % 2 == 0:  # duplicate seed as a messy variant
+            v = (m >> 8) % 4
+            host, rest = u.split("//", 1)[1].split("/", 1)
+            variant = [
+                f"http://{host.upper()}/{rest}",
+                f"http://{host}:80/{rest}",
+                f"{u}/",
+                f"{u}#top",
+            ][v]
+            urls.append(variant)
             prios.append(1.0)
             depths.append(0)
     return pa.table(

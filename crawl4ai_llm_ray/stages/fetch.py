@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..schema import FETCHED_SCHEMA
-from ..sources.synth import SynthWebConfig, fetch_page, spans_to_arrow
+from ..sources.synth import SynthWebConfig, fetch_pages
 from .canonicalize import canonicalize_batch
 
 
@@ -42,31 +42,42 @@ class FetcherWorker:
         self.n_partitions = n_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url_canon"].to_pylist()
-        statuses = np.empty(len(urls), dtype=np.int32)
-        span_lists = []
-        out_urls: list[str] = []
-        out_depths: list[int] = []
-        for i, u in enumerate(urls):
-            status, spans = fetch_page(self.cfg, u)
-            statuses[i] = status
-            span_lists.append(spans)
-        depths = batch["depth"].to_numpy(zero_copy_only=False)
-        for i, spans in enumerate(span_lists):
-            d = int(depths[i]) + 1
-            for kind, _text, ref, _off in spans:
-                if kind == "link":
-                    out_urls.append(ref)
-                    out_depths.append(d)
+        from ..schema import SPAN_STRUCT
 
-        if self.shards is not None and out_urls:
-            self._offer_links(out_urls, out_depths)
+        n = batch.num_rows
+        out = fetch_pages(self.cfg, batch["url_canon"])
+
+        # assemble the spans list<struct> column from the flat batch arrays
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(out["span_counts"], out=offsets[1:])
+        struct = pa.StructArray.from_arrays(
+            [
+                out["kind"],
+                out["text"],
+                out["media_ref"],
+                pa.array(out["offset"], type=pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets), struct)
+
+        # discovered links (vectorized): child depth = parent depth + 1
+        if self.shards is not None and len(out["kind"]):
+            import pyarrow.compute as pc
+
+            link_mask = pc.equal(out["kind"], "link").to_numpy(zero_copy_only=False)
+            if link_mask.any():
+                parent = np.repeat(np.arange(n), out["span_counts"])
+                depths = batch["depth"].to_numpy(zero_copy_only=False)
+                refs = out["media_ref"].filter(pa.array(link_mask))
+                d = depths[parent[link_mask]].astype(np.int32) + 1
+                self._offer_links(refs, d)
 
         url_hash = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         doc_id = pa.array([f"url_{h}" for h in url_hash], type=pa.string())
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
         fetched_at = pa.array(
-            np.full(len(urls), np.datetime64(now, "us")), type=pa.timestamp("us")
+            np.full(n, np.datetime64(now, "us")), type=pa.timestamp("us")
         )
         return pa.table(
             {
@@ -78,24 +89,22 @@ class FetcherWorker:
                 "depth": batch["depth"],
                 "priority": batch["priority"],
                 "scheduled_t": batch["scheduled_t"],
-                "status": pa.array(statuses),
-                "spans": spans_to_arrow(span_lists),
+                "status": pa.array(out["status"]),
+                "spans": spans,
                 "fetched_at": fetched_at,
             },
             schema=FETCHED_SCHEMA,
         )
 
-    def _offer_links(self, out_urls: list[str], out_depths: list[int]) -> None:
+    def _offer_links(self, out_urls: pa.Array, out_depths: np.ndarray) -> None:
         import ray
 
         link_tbl = pa.table(
             {
-                "url": pa.array(out_urls, type=pa.string()),
-                "depth": pa.array(np.array(out_depths, dtype=np.int32)),
+                "url": out_urls,
+                "depth": pa.array(out_depths.astype(np.int32)),
                 "priority": pa.array(
-                    (1.0 / (1.0 + np.array(out_depths, dtype=np.float32))).astype(
-                        np.float32
-                    )
+                    (1.0 / (1.0 + out_depths.astype(np.float32))).astype(np.float32)
                 ),
             }
         )

@@ -30,7 +30,6 @@ The class is plain Python (unit-testable); the crawl pipeline wraps it with
 
 from __future__ import annotations
 
-import heapq
 import os
 import pickle
 import tempfile
@@ -74,7 +73,9 @@ class FrontierShard:
         else:
             self.probe = CuckooFilter(capacity=expected_urls * 2)
         self.exact = U64Set()
-        # host -> heap of (-priority, url_hash, url_canon, depth)
+        # host -> list of "runs": (prio:f32[], hash:u64[], url:obj[], depth:i32[])
+        # appended vectorized at offer time, merged+sorted once per wave at
+        # drain time (replaces a per-item python heap — ~20x less CPU/url)
         self.queues: dict[str, list] = {}
         self.wave = 0
         self.metrics_rows: list[dict] = []
@@ -139,32 +140,39 @@ class FrontierShard:
             self._merge_counts(counts)
             return counts
 
-        urls = table["url_canon"].take(pa.array(new_idx)).to_pylist()
-        hosts = table["host"].take(pa.array(new_idx)).to_pylist()
-        prios = priority[new_idx]
-        depths = table["depth"].to_numpy(zero_copy_only=False)[new_idx]
+        urls = np.asarray(
+            table["url_canon"].take(pa.array(new_idx)).to_pylist(), dtype=object
+        )
+        hosts = np.asarray(
+            table["host"].take(pa.array(new_idx)).to_pylist(), dtype=object
+        )
+        prios = priority[new_idx].astype(np.float32)
+        depths = table["depth"].to_numpy(zero_copy_only=False)[new_idx].astype(np.int32)
         hashes = url_hash[new_idx]
 
-        # robots gate (per-host Disallow prefixes)
-        blocked = np.zeros(len(new_idx), dtype=bool)
-        for i, (u, h) in enumerate(zip(urls, hosts)):
+        # robots gate + enqueue, grouped by host (vectorized per group)
+        blocked_total = 0
+        uniq_hosts, inv = np.unique(hosts, return_inverse=True)
+        for gi, h in enumerate(uniq_hosts):
+            g = np.flatnonzero(inv == gi)
             prefixes = self.robots.get(h, ((), self.default_delay))[0]
             if prefixes:
-                path = u.split("/", 3)[3] if u.count("/") >= 3 else ""
-                path = "/" + path
-                if any(path.startswith(p) for p in prefixes):
-                    blocked[i] = True
-        counts["robots_blocked"] = int(blocked.sum())
-
-        # mark everything (admitted + robots-blocked) seen; enqueue admitted
+                pref_full = tuple(f"http://{h}{p}" for p in prefixes)
+                keep = np.fromiter(
+                    (not u.startswith(pref_full) for u in urls[g]),
+                    dtype=bool,
+                    count=len(g),
+                )
+                blocked_total += int((~keep).sum())
+                g = g[keep]
+            if len(g):
+                self.queues.setdefault(h, []).append(
+                    (prios[g], hashes[g], urls[g], depths[g])
+                )
+        counts["robots_blocked"] = blocked_total
+        counts["admitted"] = len(new_idx) - blocked_total
+        # mark everything (admitted + robots-blocked) seen
         self._probe_insert(hashes)
-        for i in np.flatnonzero(~blocked):
-            h = hosts[i]
-            heapq.heappush(
-                self.queues.setdefault(h, []),
-                (-float(prios[i]), int(hashes[i]), urls[i], int(depths[i])),
-            )
-        counts["admitted"] = int((~blocked).sum())
         self._merge_counts(counts)
         return counts
 
@@ -179,21 +187,40 @@ class FrontierShard:
         url_hash); advances the shard's wave counter and seals metrics."""
         t = self.wave
         wave_start = t * wave_duration
-        urls, hashes, hosts, prios, depths, sched = [], [], [], [], [], []
+        u_parts, h_parts, host_parts, p_parts, d_parts, s_parts = [], [], [], [], [], []
         for h in sorted(k for k, q in self.queues.items() if q):
-            q = self.queues[h]
+            runs = self.queues[h]
+            prio = np.concatenate([r[0] for r in runs])
+            uh = np.concatenate([r[1] for r in runs])
+            uu = np.concatenate([r[2] for r in runs])
+            dd = np.concatenate([r[3] for r in runs])
+            # (priority desc, url_hash asc) — one vectorized sort per host per
+            # wave instead of per-item heap ops
+            order = np.lexsort((uh, -prio))
             delay = self.robots.get(h, ((), self.default_delay))[1]
             budget = max(1, int(wave_duration // delay))
-            k = 0
-            while q and k < budget:
-                negp, uh, u, d = heapq.heappop(q)
-                urls.append(u)
-                hashes.append(uh)
-                hosts.append(h)
-                prios.append(-negp)
-                depths.append(d)
-                sched.append(wave_start + k * delay)
-                k += 1
+            take = order[:budget]
+            rest = order[budget:]
+            if len(rest):
+                self.queues[h] = [(prio[rest], uh[rest], uu[rest], dd[rest])]
+            else:
+                del self.queues[h]
+            k = len(take)
+            u_parts.append(uu[take])
+            h_parts.append(uh[take])
+            host_parts.append(np.full(k, h, dtype=object))
+            p_parts.append(prio[take])
+            d_parts.append(dd[take])
+            s_parts.append(wave_start + np.arange(k, dtype=np.float64) * delay)
+        if u_parts:
+            urls = np.concatenate(u_parts)
+            hashes = np.concatenate(h_parts)
+            hosts = np.concatenate(host_parts)
+            prios = np.concatenate(p_parts)
+            depths = np.concatenate(d_parts)
+            sched = np.concatenate(s_parts)
+        else:
+            urls = hashes = hosts = prios = depths = sched = np.empty(0)
         self._wave_counts["fetched"] = len(urls)
         self.metrics_rows.append(
             {"partition_id": self.partition_id, "wave": t, **self._wave_counts}
@@ -203,16 +230,16 @@ class FrontierShard:
 
         tbl = pa.table(
             {
-                "url_canon": pa.array(urls, type=pa.string()),
-                "url_hash": pa.array(np.array(hashes, dtype=np.uint64)),
-                "host": pa.array(hosts, type=pa.string()),
+                "url_canon": pa.array(list(urls), type=pa.string()),
+                "url_hash": pa.array(hashes.astype(np.uint64)),
+                "host": pa.array(list(hosts), type=pa.string()),
                 "partition_id": pa.array(
                     np.full(len(urls), self.partition_id, dtype=np.int32)
                 ),
-                "priority": pa.array(np.array(prios, dtype=np.float32)),
-                "depth": pa.array(np.array(depths, dtype=np.int32)),
+                "priority": pa.array(prios.astype(np.float32)),
+                "depth": pa.array(depths.astype(np.int32)),
                 "wave": pa.array(np.full(len(urls), t, dtype=np.int32)),
-                "scheduled_t": pa.array(np.array(sched, dtype=np.float64)),
+                "scheduled_t": pa.array(sched.astype(np.float64)),
             },
             schema=WAVE_SCHEMA,
         )
@@ -228,9 +255,19 @@ class FrontierShard:
             tbl = tbl.take(idx)
         return tbl
 
+    def next_wave_blocks(self, wave_duration: float = 8.0, max_block_rows: int = 1 << 30):
+        """Generator form of next_wave for ``num_returns="dynamic"`` actor
+        calls: yields the wave table in ≤max_block_rows slices so a hot
+        shard's wave fans out across many fetch tasks instead of one."""
+        tbl = self.next_wave(wave_duration)
+        if tbl.num_rows == 0:
+            return
+        for i in range(0, tbl.num_rows, max_block_rows):
+            yield tbl.slice(i, max_block_rows)
+
     # ------------------------------------------------------------------ state
     def queue_size(self) -> int:
-        return sum(len(q) for q in self.queues.values())
+        return sum(len(r[0]) for q in self.queues.values() for r in q)
 
     def seen_hashes(self) -> np.ndarray:
         return self.exact.to_numpy()

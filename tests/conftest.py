@@ -5,6 +5,10 @@ import pytest
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# large-buffer reuse (this VM page-faults fresh pages at ~140 MB/s; see bench.py)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 
 @pytest.fixture(scope="session")
 def ray_session():
