@@ -15,7 +15,15 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from crawl4ai_llm_ray.pipelines import ann, crawl_queries, dedup, multimodal, relational, text
+from crawl4ai_llm_ray.pipelines import (
+    ann,
+    crawl_queries,
+    dedup,
+    multimodal,
+    relational,
+    relational2,
+    text,
+)
 
 
 def entry() -> Any:
@@ -41,6 +49,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": relational.window_tumbling,        # §2.9
         "count_group": relational.count_group,                # A1
         "json_filter": relational.json_filter,                # M4 dot-notation
+        "join_3way_topk": relational2.join_3way_topk,
+        "having_filter": relational2.having_filter,
+        "case_when_agg": relational2.case_when_agg,
+        "distinct_count": relational2.distinct_count,
+        "string_funcs": relational2.string_funcs,             # §2.8
+        "date_funcs": relational2.date_funcs,                 # §2.8
+        "window_sliding": relational2.window_sliding,         # §2.9
+        "sessionize": relational2.sessionize,                 # §2.9
+        "token_count_bpe": relational2.token_count_bpe,
         # --- text analysis ---
         "token_count": text.token_count,
         "quality_score": text.quality_score,
@@ -140,6 +157,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
             GROUP BY event_type
+        """,
+        "join_3way_topk": """
+            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "having_filter": """
+            SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY o_custkey HAVING count(*) > 15
+        """,
+        "case_when_agg": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_extendedprice > 30000 THEN l_quantity ELSE 0 END), 2) AS hi_qty,
+                   round(sum(CASE WHEN l_extendedprice > 30000 THEN 0 ELSE l_quantity END), 2) AS lo_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "distinct_count": """
+            SELECT s_nationkey, count(DISTINCT s_suppkey) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "string_funcs": """
+            SELECT p_partkey, upper(p_name) AS name_upper,
+                   substr(p_name, 1, 8) AS name_prefix,
+                   length(p_name)::BIGINT AS name_len,
+                   p_brand || ':' || p_name AS branded
+            FROM part
+        """,
+        "date_funcs": """
+            SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY y, m
+        """,
+        "window_sliding": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+                       FROM events)
+            SELECT event_type,
+                   (sec // 3600) * 3600 - j * 3600 AS w_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM e CROSS JOIN generate_series(0, 1) AS g(j)
+            GROUP BY event_type, w_start
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+                       FROM events),
+            o AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                                 OR sec - lag(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, min(sec) AS session_start_sec,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))::BIGINT AS n_bpe
+            FROM documents
         """,
         "token_count": f"""
             SELECT doc_id, len({toks})::BIGINT AS n_tokens FROM documents

@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min
 
 from ..functions.hashing import fnv1a64
 from ..state.bloom import _remix
@@ -131,15 +131,20 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
 
     exploded = ds.map_batches(explode, batch_format="pandas")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+    # pair counting = self-join on the shingle key. Pairs from different
+    # shingles are independent, so at scale this runs per shingle-hash
+    # partition (add `part = sh % P`, groupby(part), join within partition);
+    # at this corpus size the exploded table is tiny → coalesce and do one
+    # vectorized hash self-join.
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return g.rename(columns={"doc_id_x": "a", "doc_id_y": "b", "size": "inter"})
 
-    pairs = exploded.groupby("sh").map_groups(emit_pairs, batch_format="pandas")
-    inter = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="inter"))
+    inter = exploded.repartition(1).map_batches(
+        count_pairs, batch_format="pandas", batch_size=None
+    )
 
     # broadcast per-doc shingle-set sizes (narrow: one int per doc)
     def sizes(df: pd.DataFrame) -> pd.DataFrame:
@@ -213,18 +218,21 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
 
     banded = ds.map_batches(band_rows, batch_format="pandas")
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]})
+    # candidate pairs share a (band, bucket); buckets are independent → at
+    # scale this is a groupby over (band, bhash) with in-bucket pair emission
+    # (the LSH point: pair work stays within buckets). Banded rows are
+    # 8/doc → tiny here: coalesce + vectorized self-join.
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on=["band", "bhash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .drop_duplicates()  # dedup candidates across bands
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        )
 
-    cand = (
-        banded.groupby(["band", "bhash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="nb"))  # dedup candidates across bands
+    cand = banded.repartition(1).map_batches(
+        bucket_pairs, batch_format="pandas", batch_size=None
     )
 
     # verify candidates with exact Jaccard via broadcast shingle sets

@@ -19,7 +19,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Min, Sum
+
+from ..functions.agg import final_agg
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -69,11 +71,6 @@ def agg_pushdown_q1(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_sum_qty", alias_name="sum_qty"),
-        Sum("p_sum_base", alias_name="sum_base_price"),
-        Sum("p_count", alias_name="count_order"),
-    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
@@ -81,7 +78,12 @@ def agg_pushdown_q1(sf_dir: str):
         df["sum_base_price"] = df["sum_base_price"].round(2)
         return df
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return final_agg(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "p_sum_qty", "sum_base_price": "p_sum_base", "count_order": "p_count"},
+        finalize,
+    )
 
 
 # ------------------------------------------------------------- O1/O2: ordering
@@ -242,14 +244,13 @@ def broadcast_join_agg(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("n_nationkey").aggregate(Sum("p_rev", alias_name="revenue"))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["n_name"] = df["n_nationkey"].map(nk_to_name)
         df["revenue"] = df["revenue"].round(2)
         return df[["n_name", "revenue"]]
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return final_agg(partials, ["n_nationkey"], {"revenue": "p_rev"}, finalize)
 
 
 # ------------------------------------------------------ §2.9: tumbling windows
@@ -269,15 +270,14 @@ def window_tumbling(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
-    agg = partials.groupby(["event_type", "bucket"]).aggregate(
-        Sum("p_n", alias_name="n"), Sum("p_sum", alias_name="sum_value")
-    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_value"] = df["sum_value"].round(4)
         return df
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return final_agg(
+        partials, ["event_type", "bucket"], {"n": "p_n", "sum_value": "p_sum"}, finalize
+    )
 
 
 def count_group(sf_dir: str):
@@ -289,17 +289,13 @@ def count_group(sf_dir: str):
             p_n=("o_totalprice", "size"), p_total=("o_totalprice", "sum")
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=32768)
-        .groupby("o_orderpriority")
-        .aggregate(Sum("p_n", alias_name="n"), Sum("p_total", alias_name="total"))
-    )
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["total"] = df["total"].round(2)
         return df
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return final_agg(partials, ["o_orderpriority"], {"n": "p_n", "total": "p_total"}, finalize)
 
 
 # ------------------------------------------- M4: JSON / nested-field predicate
@@ -320,9 +316,5 @@ def json_filter(sf_dir: str):
         sub = df[k > 50]
         return sub.groupby("event_type", as_index=False).agg(p_n=("props", "size"))
 
-    agg = (
-        ds.map_batches(f, batch_format="pandas", batch_size=32768)
-        .groupby("event_type")
-        .aggregate(Sum("p_n", alias_name="n"))
-    )
-    return agg
+    partials = ds.map_batches(f, batch_format="pandas", batch_size=32768)
+    return final_agg(partials, ["event_type"], {"n": "p_n"})
