@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_prefix": dedup.dedup_exact_prefix,       # D1
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # rows-only
+        "dedup_clusters": dedup.dedup_clusters,                # rows-only
         "simhash": dedup.simhash,                              # rows-only
         "embed_cosine_pairs": dedup.embed_cosine_pairs,
         # --- similarity search ---

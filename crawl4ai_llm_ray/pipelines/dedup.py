@@ -296,6 +296,39 @@ def simhash(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+# ----------------------------------------------- near-dup cluster resolution
+def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.4):
+    """Connected components over the verified near-dup pair graph → one
+    surviving doc per cluster: (doc_id, cluster_id=min doc_id of component,
+    keep=True for the minimum member). The canonical last step of near-dedup.
+
+    Components are computed by iterated min-label propagation over the edge
+    list (each round: label[x] = min(label of x, labels of neighbors); rounds
+    ≤ graph diameter). Here the candidate pair set is provably small (output
+    of minhash_lsh_pairs), so propagation runs vectorized on the driver; at
+    scale each round is a groupby(node).min() over the (node, label) edge
+    expansion — same math, shuffle-parallel."""
+    import pandas as pd
+
+    pairs = minhash_lsh_pairs(sf_dir, n=n, threshold=threshold).to_pandas()
+    docs = _read_docs(sf_dir, columns=("doc_id",)).to_pandas()
+    label = {int(d): int(d) for d in docs["doc_id"]}
+    edges = list(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    out = pd.DataFrame(
+        {"doc_id": list(label), "cluster_id": [label[d] for d in label]}
+    ).sort_values("doc_id")
+    out["keep"] = out["doc_id"] == out["cluster_id"]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 # -------------------------------------------------- embedding-cosine near-dup
 def embed_cosine_pairs(sf_dir: str, threshold: float = 0.35):
     """All embedding pairs with cosine ≥ threshold: brute-force per batch

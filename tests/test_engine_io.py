@@ -1,0 +1,100 @@
+"""Tests: Pipeline/add_stage extension surface, stage registry, format-switch
+IO, JSON compat codec, dedup cluster resolution."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawl4ai_llm_ray.engine import EngineConfig, Pipeline, register_stage
+from crawl4ai_llm_ray.sources import io as eio
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_add_stage_fn_cls_and_registry(tmp_path):
+    import ray.data as rd
+
+    # stage fn/class defined locally so cloudpickle ships them by value
+    # (workers cannot import the pytest module)
+    @register_stage("double_value")
+    def _double(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("value"), "value", pc.multiply(t["value"], 2.0)
+        )
+
+    class _AddConst:
+        def __init__(self, c: float = 1.0):
+            self.c = c
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.set_column(
+                t.schema.get_field_index("value"), "value", pc.add(t["value"], self.c)
+            )
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    base = ds.to_pandas().sort_values("event_id")
+    p = (
+        Pipeline(ds, EngineConfig())
+        .add_stage("double_value")                 # registry lookup
+        .add_stage(_AddConst, concurrency=2, c=5.0)  # actor pool + ctor kwargs
+    )
+    out = p.dataset().to_pandas().sort_values("event_id")
+    np.testing.assert_allclose(out["value"].values, base["value"].values * 2 + 5)
+    # unknown stage name errors clearly
+    with pytest.raises(ValueError, match="Unknown stage"):
+        Pipeline(ds).add_stage("nope")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_format_switch_roundtrip(tmp_path):
+    import ray.data as rd
+
+    ds = rd.range(100)
+    path = str(tmp_path / "out")
+    eio.write_dataset(ds, path)  # auto → parquet here (no pylance)
+    assert eio.storage_format("auto") == "parquet"
+    back = eio.read_dataset(path)
+    assert back.count() == 100
+    with pytest.raises(RuntimeError):
+        eio.storage_format("lance")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_compat_codec(tmp_path):
+    import json
+
+    d = tmp_path / "recs"
+    d.mkdir()
+    for i in range(5):
+        (d / f"r{i}.json").write_text(
+            json.dumps({"id": f"r{i}", "title": f"T{i}", "price": i * 1.5})
+        )
+    ds = eio.read_json_records(str(d))
+    cols = eio.json_payload_to_columns(ds, ["title", "price"]).to_pandas()
+    assert sorted(cols["title"]) == [f"T{i}" for i in range(5)]
+    out = str(tmp_path / "export")
+    eio.write_json_records(ds, out)
+    import os
+
+    assert any(f.endswith(".json") for f in os.listdir(out))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_consistent_with_pairs():
+    from crawl4ai_llm_ray.pipelines import dedup
+
+    clusters = dedup.dedup_clusters(SF).to_pandas()
+    pairs = dedup.minhash_lsh_pairs(SF).to_pandas()
+    lab = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b]  # connected docs share a cluster
+    # exactly one keeper per cluster
+    keep = clusters[clusters["keep"]]
+    assert keep["cluster_id"].is_unique
+    assert set(keep["cluster_id"]) == set(clusters["cluster_id"].unique())
