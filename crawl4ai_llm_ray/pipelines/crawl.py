@@ -362,28 +362,50 @@ def run_frontier_drain(
     shards_ref = ray.put(shards)
 
     def make_urls(batch: dict) -> pa.Table:
+        import pyarrow.compute as pc
+
         b = ray.get(bounds_ref)
         ids = batch["id"]
         hi = (np.searchsorted(b, ids, side="right") - 1).astype(np.int64)
         pj = (ids - b[hi]).astype(np.int64)
-        urls = [f"http://h{h:03d}.test/p/{p}" for h, p in zip(hi, pj)]
-        # dup_factor messy variants appended (dedup work for the seen set)
-        ndup = int(len(urls) * dup_factor)
-        variants = [
-            [
-                "http://" + u[7:].split("/", 1)[0].upper() + "/" + u[7:].split("/", 1)[1],
-                u + "/",
-                u + "#x",
-                u.replace(".test/", ".test:80/", 1),
-            ][i % 4]
-            for i, u in enumerate(urls[:ndup])
-        ]
-        depth = np.zeros(len(urls) + ndup, dtype=np.int32)
+        # vectorized URL assembly (no per-row Python strings)
+        hostpart = pc.binary_join_element_wise(
+            "h", pc.utf8_lpad(pc.cast(pa.array(hi), pa.string()), 3, "0"), ".test", ""
+        )
+        urls = pc.binary_join_element_wise(
+            "http://", hostpart, "/p/", pc.cast(pa.array(pj), pa.string()), ""
+        )
+        # dup_factor messy variants appended (dedup work for the seen set),
+        # variant class chosen deterministically per id
+        ndup = int(len(ids) * dup_factor)
+        sel = slice(0, ndup)
+        vkind = (ids[sel] % 4).astype(np.int64)
+        upper_v = pc.binary_join_element_wise(
+            "http://",
+            pc.utf8_upper(hostpart.slice(0, ndup)),
+            "/p/",
+            pc.cast(pa.array(pj[sel]), pa.string()),
+            "",
+        )
+        port_v = pc.binary_join_element_wise(
+            "http://",
+            hostpart.slice(0, ndup),
+            ":80/p/",
+            pc.cast(pa.array(pj[sel]), pa.string()),
+            "",
+        )
+        slash_v = pc.binary_join_element_wise(urls.slice(0, ndup), "/", "")
+        frag_v = pc.binary_join_element_wise(urls.slice(0, ndup), "#x", "")
+        variants = upper_v
+        for v, vals in ((1, port_v), (2, slash_v), (3, frag_v)):
+            variants = pc.if_else(pa.array(vkind == v), vals, variants)
+        all_urls = pa.concat_arrays([urls, variants])
+        n = len(all_urls)
         return pa.table(
             {
-                "url": pa.array(urls + variants, type=pa.string()),
-                "priority": pa.array(np.ones(len(urls) + ndup, dtype=np.float32)),
-                "depth": pa.array(depth),
+                "url": all_urls,
+                "priority": pa.array(np.ones(n, dtype=np.float32)),
+                "depth": pa.array(np.zeros(n, dtype=np.int32)),
             }
         )
 
