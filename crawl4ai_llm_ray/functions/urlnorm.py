@@ -108,12 +108,16 @@ def _vector_fixups(arr: pa.Array) -> pa.Array:
     ok = pc.is_valid(parts)
     scheme = pc.utf8_lower(parts.field("s"))
     host = pc.utf8_lower(parts.field("h"))
-    host = pc.replace_substring_regex(host, r":80$", "")  # http default
-    is_https = pc.equal(scheme, "https")
+    # default ports are scheme-specific: :80 only for http, :443 only for https
     host = pc.if_else(
-        is_https, pc.replace_substring_regex(host, r":443$", ""), host
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, r":80$", ""),
+        pc.if_else(
+            pc.equal(scheme, "https"),
+            pc.replace_substring_regex(host, r":443$", ""),
+            host,
+        ),
     )
-    # (an http URL with :443 keeps its port; rare → scalar path handles it)
     rest = pc.fill_null(parts.field("r"), "/")
     rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
     rebuilt = pc.binary_join_element_wise(scheme, "://", host, rest, "")

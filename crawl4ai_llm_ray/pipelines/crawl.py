@@ -75,6 +75,8 @@ def run_crawl(
     wave_block_rows: int = 4096,
     inline_wave_rows: int = 2000,
     small_wave_rows: int = 40000,
+    max_queue_rows: int | None = None,
+    max_retries: int = 3,
 ) -> CrawlResult:
     """Run (or resume) the crawl. Ray must already be initialised."""
     import ray
@@ -100,7 +102,12 @@ def run_crawl(
     if manifest is None:
         shards = [
             ShardActor.remote(
-                p, n_partitions, robots, expected_urls=expected_urls_per_shard
+                p,
+                n_partitions,
+                robots,
+                expected_urls=expected_urls_per_shard,
+                max_queue_rows=max_queue_rows,
+                spill_dir=os.path.join(ckpt_dir, "spill"),
             )
             for p in range(n_partitions)
         ]
@@ -163,7 +170,7 @@ def run_crawl(
             _write_manifest(out_dir, {"next_wave": t, "n_partitions": n_partitions})
         phase["checkpoint"] += _time.time() - t0
 
-        worker = FetcherWorker(cfg, shards=shards, n_partitions=n_partitions)
+        worker = FetcherWorker(cfg, shards=shards, n_partitions=n_partitions, max_retries=max_retries)
         tmp = os.path.join(docs_dir, f".tmp_wave_{t:05d}")
         final = os.path.join(docs_dir, f"wave_{t:05d}")
         shutil.rmtree(tmp, ignore_errors=True)

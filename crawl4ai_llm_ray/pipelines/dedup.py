@@ -196,23 +196,30 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
     ds = _read_docs(sf_dir)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        docs, bands, bhash = [], [], []
-        for did, text in zip(df["doc_id"], df["text"]):
-            sig = _minhash_sig(_shingle_hashes(text, n))
-            rows = sig.reshape(N_BANDS, -1)
-            for b in range(N_BANDS):
-                # fold the band's minhashes into one 64-bit bucket key
-                acc = np.uint64(0xCBF29CE484222325)
-                for v in rows[b]:
-                    acc = _remix(np.array([acc ^ v], dtype=np.uint64))[0]
-                docs.append(did)
-                bands.append(b)
-                bhash.append(acc)
+        # batch-vectorized minhash: concatenate all docs' shingle hashes,
+        # seeded-remix into a (N_MINHASH, total) matrix, per-doc minima via
+        # minimum.reduceat, then fold each band with a vectorized remix chain
+        per_doc = [_shingle_hashes(t, n) for t in df["text"]]
+        counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+        docs_idx = np.flatnonzero(counts > 0)
+        sigs = np.full((len(df), N_MINHASH), np.uint64(0xFFFFFFFFFFFFFFFF))
+        if len(docs_idx):
+            allh = np.concatenate([per_doc[i] for i in docs_idx])
+            starts = np.concatenate(
+                [[0], np.cumsum(counts[docs_idx])[:-1]]
+            ).astype(np.int64)
+            m = _remix(allh[None, :] ^ _MINHASH_SEEDS[:, None])  # (64, total)
+            sigs[docs_idx] = np.minimum.reduceat(m, starts, axis=1).T
+        bands = sigs.reshape(len(df), N_BANDS, -1)
+        acc = np.full((len(df), N_BANDS), np.uint64(0xCBF29CE484222325))
+        for r in range(bands.shape[2]):
+            acc = _remix((acc ^ bands[:, :, r]).ravel()).reshape(acc.shape)
+        ndocs = len(df)
         return pd.DataFrame(
             {
-                "doc_id": np.array(docs, dtype=np.int64),
-                "band": np.array(bands, dtype=np.int8),
-                "bhash": np.array(bhash, dtype=np.uint64).astype(np.int64),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), N_BANDS).astype(np.int64),
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int8), ndocs),
+                "bhash": acc.ravel().astype(np.int64),
             }
         )
 

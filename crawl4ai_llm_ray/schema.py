@@ -38,7 +38,8 @@ FETCHED_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("priority", pa.float32()),
         ("scheduled_t", pa.float64()),   # virtual politeness clock (s since crawl start)
-        ("status", pa.int32()),          # 200 | 404
+        ("status", pa.int32()),          # 200 | 404 | 503 (retries exhausted)
+        ("attempts", pa.int32()),        # fetch attempts consumed (retry contract)
         ("spans", pa.list_(SPAN_STRUCT)),
         ("fetched_at", pa.timestamp("us")),
     ]

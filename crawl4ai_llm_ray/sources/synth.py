@@ -61,6 +61,12 @@ class SynthWebConfig:
     p_private_link: float = 0.08  # link into a robots-disallowed path
     p_dead_link: float = 0.10     # link to a nonexistent page (404)
     n_seeds: int = 12
+    # transient-failure model (reference CrawlerConfig.max_retries contract,
+    # /root/reference/crawl4ai_llm/config.py:55 — declared there, enforced
+    # here): a failing page 503s deterministically for its first
+    # `fail_until` attempts
+    p_transient_fail: float = 0.0
+    max_fail_attempts: int = 4
 
     def n_pages(self, host_idx: int) -> int:
         return max(1, int(self.base_pages / (host_idx + 1) ** self.zipf_a))
@@ -177,13 +183,21 @@ def _seed64(cfg: SynthWebConfig) -> np.uint64:
 _URL_PARSE_RE = r"^http://h(?P<h>\d{3})\.test/p/(?P<p>\d+)$"
 
 
-def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
+def fetch_pages(cfg: SynthWebConfig, urls, retries: int = 3) -> dict:
     """Vectorized simulated fetch of a batch of canonical URLs.
 
-    Returns dict with per-page arrays (status:int32, span_counts:int64) and
-    flat per-span Arrow string arrays (kind/text/media_ref) plus offset:int32,
-    in page order — assembled entirely from Arrow kernels and numpy byte-pool
-    gathers (zero per-span Python strings)."""
+    Returns dict with per-page arrays (status:int32, attempts:int32,
+    span_counts:int64) and flat per-span Arrow string arrays
+    (kind/text/media_ref) plus offset:int32, in page order — assembled
+    entirely from Arrow kernels and numpy byte-pool gathers (zero per-span
+    Python strings).
+
+    Retry contract: with ``cfg.p_transient_fail > 0`` a page deterministically
+    503s on its first ``fail_until`` attempts; the fetcher retries up to
+    ``retries`` extra attempts (reference ``max_retries=3``), so
+    status = 200 iff ``fail_until <= retries``; ``attempts`` records the
+    attempts consumed (a real HTTP fetcher's retry loop collapses to this
+    bookkeeping under a deterministic corpus)."""
     if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
         urls = pa.array(list(urls), type=pa.string())
     if isinstance(urls, pa.ChunkedArray):
@@ -192,6 +206,7 @@ def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
     if n == 0:
         return {
             "status": np.empty(0, np.int32),
+            "attempts": np.empty(0, np.int32),
             "span_counts": np.empty(0, np.int64),
             "kind": pa.array([], type=pa.string()),
             "text": pa.array([], type=pa.string()),
@@ -210,6 +225,26 @@ def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
     exists = ok & (hi >= 0) & (hi < cfg.n_hosts)
     exists[exists] &= pj[exists] < npages[hi[exists]]
     status = np.where(exists, 200, 404).astype(np.int32)
+    attempts = np.ones(n, dtype=np.int32)
+
+    if cfg.p_transient_fail > 0 and exists.any():
+        he = _remix(fnv1a64(urls.take(pa.array(np.flatnonzero(exists)))) ^ _seed64(cfg))
+        fr = _mix(he, 97)
+        failing = (fr % _U64(1000)) < int(cfg.p_transient_fail * 1000)
+        fail_until = np.where(
+            failing,
+            1 + ((fr >> _U64(10)) % _U64(cfg.max_fail_attempts)).astype(np.int64),
+            0,
+        )
+        ok_after_retry = fail_until <= retries
+        att = np.minimum(fail_until, retries).astype(np.int32) + 1
+        attempts[exists] = att
+        sub_status = np.where(ok_after_retry, 200, 503).astype(np.int32)
+        status[exists] = sub_status
+        # failed pages produce no spans
+        still = exists.copy()
+        still[exists] = ok_after_retry
+        exists = still
 
     # --- per existing page streams ---
     e_idx = np.flatnonzero(exists)
@@ -218,6 +253,7 @@ def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
     if ne == 0:
         return {
             "status": status,
+            "attempts": attempts,
             "span_counts": span_counts,
             "kind": pa.array([], type=pa.string()),
             "text": pa.array([], type=pa.string()),
@@ -386,6 +422,7 @@ def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
 
     return {
         "status": status,
+        "attempts": attempts,
         "span_counts": span_counts,
         "kind": kind_arr,
         "text": text_arr,
@@ -394,11 +431,11 @@ def fetch_pages(cfg: SynthWebConfig, urls) -> dict:
     }
 
 
-def fetch_page(cfg: SynthWebConfig, url_canon: str):
+def fetch_page(cfg: SynthWebConfig, url_canon: str, retries: int = 3):
     """Scalar fetch (oracle interface): (status, [(kind, text, media_ref,
     offset), ...]). Thin wrapper over the vectorized fetch_pages — batch
     composition cannot change page content (pure per-URL streams)."""
-    out = fetch_pages(cfg, [url_canon])
+    out = fetch_pages(cfg, [url_canon], retries=retries)
     status = int(out["status"][0])
     spans = [
         (k, t, r, int(o))

@@ -36,16 +36,23 @@ class FetcherWorker:
     (callable class) — state here is only the config + shard handles, both
     cheap and immutable."""
 
-    def __init__(self, synth_cfg: SynthWebConfig, shards=None, n_partitions: int = 1):
+    def __init__(
+        self,
+        synth_cfg: SynthWebConfig,
+        shards=None,
+        n_partitions: int = 1,
+        max_retries: int = 3,
+    ):
         self.cfg = synth_cfg
         self.shards = shards  # list[ActorHandle] | None (no loopback)
         self.n_partitions = n_partitions
+        self.max_retries = max_retries  # reference CrawlerConfig.max_retries
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..schema import SPAN_STRUCT
 
         n = batch.num_rows
-        out = fetch_pages(self.cfg, batch["url_canon"])
+        out = fetch_pages(self.cfg, batch["url_canon"], retries=self.max_retries)
 
         # assemble the spans list<struct> column from the flat batch arrays
         offsets = np.zeros(n + 1, dtype=np.int32)
@@ -90,6 +97,7 @@ class FetcherWorker:
                 "priority": batch["priority"],
                 "scheduled_t": batch["scheduled_t"],
                 "status": pa.array(out["status"]),
+                "attempts": pa.array(out["attempts"]),
                 "spans": spans,
                 "fetched_at": fetched_at,
             },

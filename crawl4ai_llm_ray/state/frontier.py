@@ -57,6 +57,8 @@ class FrontierShard:
         expected_urls: int = 1 << 16,
         default_delay: float = 1.0,
         restore_from: str | None = None,
+        max_queue_rows: int | None = None,
+        spill_dir: str | None = None,
     ):
         if restore_from is not None:
             # checkpoint restore path (used by the crawl driver's resume —
@@ -80,6 +82,16 @@ class FrontierShard:
         self.wave = 0
         self.metrics_rows: list[dict] = []
         self._wave_counts = self._zero_counts()
+        # bounded per-actor queues (north star): when in-memory queued rows
+        # exceed max_queue_rows, whole host runs spill to disk as immutable
+        # pickle files and are reloaded lazily at drain time. Spill files are
+        # never mutated, so checkpoint/restore (which snapshots the stubs)
+        # stays exact even across a re-run of a partially-executed wave.
+        self.max_queue_rows = max_queue_rows
+        self.spill_dir = spill_dir
+        self._mem_rows = 0
+        self._spill_seq = 0
+        self.spilled: dict[str, list[tuple[str, int]]] = {}  # host → [(path, rows)]
 
     # ------------------------------------------------------------------ utils
     def _zero_counts(self):
@@ -169,12 +181,36 @@ class FrontierShard:
                 self.queues.setdefault(h, []).append(
                     (prios[g], hashes[g], urls[g], depths[g])
                 )
+                self._mem_rows += len(g)
         counts["robots_blocked"] = blocked_total
         counts["admitted"] = len(new_idx) - blocked_total
         # mark everything (admitted + robots-blocked) seen
         self._probe_insert(hashes)
+        self._maybe_spill()
         self._merge_counts(counts)
         return counts
+
+    def _maybe_spill(self) -> None:
+        if self.max_queue_rows is None or self._mem_rows <= self.max_queue_rows:
+            return
+        os.makedirs(self.spill_dir, exist_ok=True)
+        # spill the largest hosts' in-memory runs until back under the bound
+        by_size = sorted(
+            self.queues.items(), key=lambda kv: -sum(len(r[0]) for r in kv[1])
+        )
+        for h, runs in by_size:
+            if self._mem_rows <= self.max_queue_rows:
+                break
+            rows = sum(len(r[0]) for r in runs)
+            path = os.path.join(
+                self.spill_dir, f"s{self.partition_id:05d}_{self._spill_seq:08d}.pkl"
+            )
+            self._spill_seq += 1
+            with open(path, "wb") as f:
+                pickle.dump(runs, f, protocol=pickle.HIGHEST_PROTOCOL)
+            self.spilled.setdefault(h, []).append((path, rows))
+            del self.queues[h]
+            self._mem_rows -= rows
 
     def _merge_counts(self, counts: dict) -> None:
         for k, v in counts.items():
@@ -188,8 +224,12 @@ class FrontierShard:
         t = self.wave
         wave_start = t * wave_duration
         u_parts, h_parts, host_parts, p_parts, d_parts, s_parts = [], [], [], [], [], []
-        for h in sorted(k for k, q in self.queues.items() if q):
-            runs = self.queues[h]
+        hosts_with_rows = {k for k, q in self.queues.items() if q} | set(self.spilled)
+        for h in sorted(hosts_with_rows):
+            runs = list(self.queues.get(h, ()))
+            for path, _rows in self.spilled.pop(h, ()):
+                with open(path, "rb") as f:
+                    runs.extend(pickle.load(f))
             prio = np.concatenate([r[0] for r in runs])
             uh = np.concatenate([r[1] for r in runs])
             uu = np.concatenate([r[2] for r in runs])
@@ -201,10 +241,12 @@ class FrontierShard:
             budget = max(1, int(wave_duration // delay))
             take = order[:budget]
             rest = order[budget:]
+            self._mem_rows -= sum(len(r[0]) for r in self.queues.get(h, ()))
             if len(rest):
                 self.queues[h] = [(prio[rest], uh[rest], uu[rest], dd[rest])]
+                self._mem_rows += len(rest)
             else:
-                del self.queues[h]
+                self.queues.pop(h, None)
             k = len(take)
             u_parts.append(uu[take])
             h_parts.append(uh[take])
@@ -267,7 +309,9 @@ class FrontierShard:
 
     # ------------------------------------------------------------------ state
     def queue_size(self) -> int:
-        return sum(len(r[0]) for q in self.queues.values() for r in q)
+        mem = sum(len(r[0]) for q in self.queues.values() for r in q)
+        spilled = sum(rows for lst in self.spilled.values() for _, rows in lst)
+        return mem + spilled
 
     def seen_hashes(self) -> np.ndarray:
         return self.exact.to_numpy()
@@ -296,6 +340,10 @@ class FrontierShard:
             "wave": self.wave,
             "metrics_rows": self.metrics_rows,
             "robots": self.robots,
+            "max_queue_rows": self.max_queue_rows,
+            "spill_dir": self.spill_dir,
+            "spill_seq": self._spill_seq,
+            "spilled": self.spilled,
         }
         path = os.path.join(ckpt_dir, f"shard_{self.partition_id:05d}.ckpt")
         fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
@@ -323,4 +371,9 @@ class FrontierShard:
         obj.wave = state["wave"]
         obj.metrics_rows = state["metrics_rows"]
         obj._wave_counts = obj._zero_counts()
+        obj.max_queue_rows = state.get("max_queue_rows")
+        obj.spill_dir = state.get("spill_dir")
+        obj._spill_seq = state.get("spill_seq", 0)
+        obj.spilled = state.get("spilled", {})
+        obj._mem_rows = sum(len(r[0]) for q in obj.queues.values() for r in q)
         return obj

@@ -1,0 +1,55 @@
+"""Property-based tests (hypothesis): canonicalization idempotence and
+vectorized/scalar agreement on arbitrary inputs; hash stability."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawl4ai_llm_ray.functions.hashing import fnv1a64, fnv1a64_scalar
+from crawl4ai_llm_ray.functions.urlnorm import canonicalize_url, canonicalize_urls
+
+# URL-shaped and garbage inputs
+_host = st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~%!$&'()*+,;=:@\-]{0,10}){0,4}/?", fullmatch=True)
+_query = st.one_of(
+    st.just(""),
+    st.from_regex(r"\?[a-z]=[0-9](&[a-z]=[0-9]){0,3}", fullmatch=True),
+)
+_frag = st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9]{0,5}", fullmatch=True))
+_scheme = st.sampled_from(["http", "HTTP", "https", "Https", "ftp"])
+_port = st.sampled_from(["", ":80", ":443", ":8080"])
+
+urlish = st.builds(
+    lambda s, h, p, pt, q, f: f"{s}://{h}{pt}{p}{q}{f}",
+    _scheme,
+    _host,
+    _path,
+    _port,
+    _query,
+    _frag,
+)
+anything = st.one_of(urlish, st.text(max_size=40))
+
+
+@given(st.lists(anything, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_vectorized_equals_scalar(urls):
+    got = canonicalize_urls(pa.array(urls, type=pa.string())).to_pylist()
+    want = [canonicalize_url(u) for u in urls]
+    assert got == want
+
+
+@given(urlish)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(url):
+    c = canonicalize_url(url)
+    if c is not None:
+        assert canonicalize_url(c) == c
+
+
+@given(st.lists(st.text(max_size=50), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_hash_vectorized_equals_scalar(texts):
+    h = fnv1a64(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        assert int(h[i]) == fnv1a64_scalar(t)
