@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,                # rows-only
         "simhash": dedup.simhash,                              # rows-only
         "embed_cosine_pairs": dedup.embed_cosine_pairs,
+        "embed_lsh_pairs": dedup.embed_lsh_pairs,              # rows-only
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only

@@ -303,6 +303,94 @@ def simhash(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def embed_lsh_pairs(sf_dir: str, threshold: float = 0.35, n_planes: int = 3, n_tables: int = 8):
+    """Embedding near-dup via random-hyperplane LSH — the 10^9-vector scale
+    path for embed_cosine_pairs: vectors sharing a signature bucket in ANY of
+    ``n_tables`` hash tables become candidates, verified exactly. Bucket
+    assignment is a vectorized map_batches against broadcast hyperplanes;
+    pair emission stays within buckets.
+
+    Parameter math: per-plane collision prob p = 1 - arccos(τ)/π; recall ≈
+    1-(1-p^b)^T. The defaults (b=3, T=8) give ~0.88 recall at τ=0.35 — note
+    that at such LOW similarity thresholds LSH bucketing prunes little (few
+    wide buckets); its pruning power kicks in for true near-dups (τ ≥ 0.8 →
+    b=12+ planes, tiny buckets). Recall vs brute force asserted in tests;
+    rows-only for the driver."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from .ann import list_col_to_matrix
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    M = list_col_to_matrix(tbl["embedding"])
+    d = M.shape[1]
+    # deterministic hyperplanes from the splitmix stream
+    raw = _remix(
+        (np.arange(n_tables * n_planes * d, dtype=np.uint64) + _U64_ONE)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+    planes = (raw.astype(np.float64) / 2**64 - 0.5).reshape(n_tables, n_planes, d)
+    planes_ref = ray.put(planes)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        X = list_col_to_matrix(t["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        rows_id, rows_tbl, rows_sig = [], [], []
+        for ti in range(P.shape[0]):
+            bits = (Xn @ P[ti].T) > 0  # (n, n_planes)
+            sig = (bits @ (1 << np.arange(P.shape[1]))).astype(np.int64)
+            rows_id.append(ids)
+            rows_tbl.append(np.full(len(ids), ti, dtype=np.int8))
+            rows_sig.append(sig)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(rows_id)),
+                "tbl": pa.array(np.concatenate(rows_tbl)),
+                "sig": pa.array(np.concatenate(rows_sig)),
+            }
+        )
+
+    bucketed = ds.map_batches(buckets, batch_format="pyarrow", batch_size=8192)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on=["tbl", "sig"])
+        m = m[m["vec_id_x"] < m["vec_id_y"]]
+        return (
+            m[["vec_id_x", "vec_id_y"]]
+            .drop_duplicates()
+            .rename(columns={"vec_id_x": "a", "vec_id_y": "b"})
+        )
+
+    cand = bucketed.repartition(1).map_batches(
+        bucket_pairs, batch_format="pandas", batch_size=None
+    )
+
+    ids_all = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids_all)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    lookup_ref = ray.put((ids_all[order], Mn[order]))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ids_sorted, Mn_sorted = ray.get(lookup_ref)
+        a = np.searchsorted(ids_sorted, df["a"].to_numpy())
+        b = np.searchsorted(ids_sorted, df["b"].to_numpy())
+        cos = np.einsum("ij,ij->i", Mn_sorted[a], Mn_sorted[b])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"vec_a": df["a"].to_numpy()[keep], "vec_b": df["b"].to_numpy()[keep]}
+        )
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+_U64_ONE = np.uint64(1)
+
+
 # ----------------------------------------------- near-dup cluster resolution
 def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.4):
     """Connected components over the verified near-dup pair graph → one

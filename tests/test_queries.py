@@ -49,6 +49,19 @@ def test_minhash_recall_vs_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embed_lsh_recall_vs_brute_force():
+    from crawl4ai_llm_ray.pipelines import dedup
+
+    brute = _df(dedup.embed_cosine_pairs(SF))
+    lsh = _df(dedup.embed_lsh_pairs(SF))
+    bset = set(zip(brute["vec_a"], brute["vec_b"]))
+    lset = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert lset.issubset(bset)  # exact verification → perfect precision
+    if bset:
+        assert len(lset) / len(bset) >= 0.5  # multi-table LSH recall
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ann_ivf_recall():
     from crawl4ai_llm_ray.pipelines import ann
 
