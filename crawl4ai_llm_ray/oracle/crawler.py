@@ -28,6 +28,7 @@ from collections import defaultdict
 from ..functions.hashing import fnv1a64_scalar
 from ..functions.urlnorm import canonicalize_url
 from ..sources.synth import SynthWebConfig, fetch_page, robots_rules, seed_table
+from ..stages.canonicalize import salted_partition_scalar
 
 
 def oracle_crawl(
@@ -35,6 +36,7 @@ def oracle_crawl(
     n_partitions: int = 8,
     wave_duration: float = 8.0,
     max_waves: int | None = None,
+    salted_hosts: dict[str, int] | None = None,
 ):
     """Returns dict with keys: docs (url_canon → list of span tuples),
     order (list of (seq, url_canon, wave, host, scheduled_t)),
@@ -50,8 +52,14 @@ def oracle_crawl(
         lambda: {"offered": 0, "admitted": 0, "deduped": 0, "robots_blocked": 0, "fetched": 0}
     )
 
-    def partition_of(host: str) -> int:
-        return fnv1a64_scalar(host) % n_partitions
+    salted_hosts = salted_hosts or {}
+
+    def partition_of(host: str, h: int) -> int:
+        return salted_partition_scalar(host, h, n_partitions, salted_hosts)
+
+    def qkey_of(host: str, h: int) -> str:
+        s_count = salted_hosts.get(host, 1)
+        return host if s_count <= 1 else f"{host}#{h % s_count}"
 
     def offer(items: list[tuple[str, float, int]], wave_label: int) -> None:
         """items: (raw_url, priority, depth). wave_label attributes metrics."""
@@ -64,7 +72,7 @@ def oracle_crawl(
                 continue
             h = fnv1a64_scalar(c)
             host = c.split("//", 1)[1].split("/", 1)[0]
-            counts_by_part[partition_of(host)] += 1
+            counts_by_part[partition_of(host, h)] += 1
             cur = canon_items.get(h)
             if cur is None or prio > cur[1]:
                 canon_items[h] = (c, prio, depth, host)
@@ -81,10 +89,10 @@ def oracle_crawl(
         for h, cnt in occurrence.items():
             if cnt > 1:
                 host = canon_items[h][3]
-                metrics[(partition_of(host), wave_label)]["deduped"] += cnt - 1
+                metrics[(partition_of(host, h), wave_label)]["deduped"] += cnt - 1
 
         for h, (c, prio, depth, host) in canon_items.items():
-            p = partition_of(host)
+            p = partition_of(host, h)
             m = metrics[(p, wave_label)]
             if h in seen:
                 m["deduped"] += 1
@@ -97,7 +105,7 @@ def oracle_crawl(
                 continue
             seen.add(h)
             m["admitted"] += 1
-            heapq.heappush(queues.setdefault(host, []), (-prio, h, c, depth))
+            heapq.heappush(queues.setdefault(qkey_of(host, h), []), (-prio, h, c, depth))
 
     # seeds → metrics wave 0
     seeds = seed_table(cfg)
@@ -116,20 +124,27 @@ def oracle_crawl(
     while any(queues.values()) and (max_waves is None or t < max_waves):
         wave_start = t * wave_duration
         wave_rows = []
-        for host in sorted(h for h, q in queues.items() if q):
-            q = queues[host]
+        for qkey in sorted(k for k, q in queues.items() if q):
+            host, _, saltpart = qkey.partition("#")
+            q = queues[qkey]
             delay = robots.get(host, ((), 1.0))[1]
             budget = max(1, int(wave_duration // delay))
+            if saltpart:
+                s_count = salted_hosts.get(host, 1)
+                offset = (int(saltpart) + t) % s_count
+                slots = list(range(offset, budget, s_count))
+            else:
+                slots = list(range(budget))
             k = 0
-            while q and k < budget:
+            while q and k < len(slots):
                 negp, h, c, depth = heapq.heappop(q)
-                sched = wave_start + k * delay
+                sched = wave_start + slots[k] * delay
                 wave_rows.append((sched, host, h, c, depth))
                 k += 1
         wave_rows.sort(key=lambda r: (r[0], r[1], r[2]))
         discovered: list[tuple[str, float, int]] = []
         for sched, host, h, c, depth in wave_rows:
-            metrics[(partition_of(host), t)]["fetched"] += 1
+            metrics[(partition_of(host, h), t)]["fetched"] += 1
             status, spans = fetch_page(cfg, c)
             docs[c] = spans
             order_rows.append((c, t, host, sched))

@@ -77,6 +77,7 @@ def run_crawl(
     small_wave_rows: int = 40000,
     max_queue_rows: int | None = None,
     max_retries: int = 3,
+    salted_hosts: dict[str, int] | None = None,
 ) -> CrawlResult:
     """Run (or resume) the crawl. Ray must already be initialised."""
     import ray
@@ -108,12 +109,15 @@ def run_crawl(
                 expected_urls=expected_urls_per_shard,
                 max_queue_rows=max_queue_rows,
                 spill_dir=os.path.join(ckpt_dir, "spill"),
+                salted_hosts=salted_hosts,
             )
             for p in range(n_partitions)
         ]
         # seed the frontier: canonicalize+route on the driver (seeds are tiny;
         # at real scale this is a map_batches over a seed parquet — same code)
-        seeds = canonicalize_batch(seed_table(cfg), n_partitions)
+        seeds = canonicalize_batch(
+            seed_table(cfg), n_partitions, salted_hosts=salted_hosts
+        )
         pid = seeds["partition_id"].to_numpy(zero_copy_only=False)
         ray.get(
             [
@@ -170,7 +174,13 @@ def run_crawl(
             _write_manifest(out_dir, {"next_wave": t, "n_partitions": n_partitions})
         phase["checkpoint"] += _time.time() - t0
 
-        worker = FetcherWorker(cfg, shards=shards, n_partitions=n_partitions, max_retries=max_retries)
+        worker = FetcherWorker(
+            cfg,
+            shards=shards,
+            n_partitions=n_partitions,
+            max_retries=max_retries,
+            salted_hosts=salted_hosts,
+        )
         tmp = os.path.join(docs_dir, f".tmp_wave_{t:05d}")
         final = os.path.join(docs_dir, f"wave_{t:05d}")
         shutil.rmtree(tmp, ignore_errors=True)

@@ -14,9 +14,48 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import fnv1a64
+from ..functions.hashing import fnv1a64, fnv1a64_scalar
 from ..functions.urlnorm import canonicalize_urls, host_of
 from ..schema import FRONTIER_SCHEMA
+
+
+def salted_partition_scalar(
+    host: str, url_hash: int, n_partitions: int, salted_hosts: dict[str, int] | None
+) -> int:
+    """Shared routing spec (oracle + engine): a hot host listed in
+    ``salted_hosts`` with s sub-shards routes URL u to partition
+    ``fnv("{host}#{u.hash % s}") % P`` — spreading its frontier state across
+    up to s shards; unsalted hosts route by ``fnv(host) % P``."""
+    s = (salted_hosts or {}).get(host, 1)
+    if s <= 1:
+        return fnv1a64_scalar(host) % n_partitions
+    return fnv1a64_scalar(f"{host}#{url_hash % s}") % n_partitions
+
+
+def _salted_partition_vec(
+    host: pa.Array,
+    host_hash: np.ndarray,
+    url_hash: np.ndarray,
+    n_partitions: int,
+    salted_hosts: dict[str, int] | None,
+) -> np.ndarray:
+    pid = (host_hash % np.uint64(n_partitions)).astype(np.int32)
+    if not salted_hosts:
+        return pid
+    hosts_np = np.asarray(host.to_pylist(), dtype=object)
+    for h, s in salted_hosts.items():
+        m = hosts_np == h
+        if not m.any() or s <= 1:
+            continue
+        salt = (url_hash[m] % np.uint64(s)).astype(np.int64)
+        keys = pc.binary_join_element_wise(
+            pa.array([h] * int(m.sum())),
+            "#",
+            pc.cast(pa.array(salt), pa.string()),
+            "",
+        )
+        pid[m] = (fnv1a64(keys) % np.uint64(n_partitions)).astype(np.int32)
+    return pid
 
 
 def canonicalize_batch(
@@ -25,11 +64,13 @@ def canonicalize_batch(
     url_col: str = "url",
     default_priority: float | None = None,
     default_depth: int | None = None,
+    salted_hosts: dict[str, int] | None = None,
 ) -> pa.Table:
     """raw (url, priority?, depth?) rows → FRONTIER_SCHEMA rows.
 
     priority/depth are passed through when present, else filled with the
     defaults (discovered links get priority = 1/(1+depth) upstream).
+    ``salted_hosts`` activates hot-host salting (see salted_partition_scalar).
     """
     canon = canonicalize_urls(batch[url_col])
     valid = pc.is_valid(canon)
@@ -41,7 +82,9 @@ def canonicalize_batch(
     url_hash = fnv1a64(canon)
     host = host_of(canon)
     host_hash = fnv1a64(host)
-    partition_id = (host_hash % np.uint64(n_partitions)).astype(np.int32)
+    partition_id = _salted_partition_vec(
+        host, host_hash, url_hash, n_partitions, salted_hosts
+    )
 
     if "priority" in batch.column_names:
         priority = batch["priority"].cast(pa.float32())

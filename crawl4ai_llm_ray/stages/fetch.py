@@ -42,11 +42,13 @@ class FetcherWorker:
         shards=None,
         n_partitions: int = 1,
         max_retries: int = 3,
+        salted_hosts: dict[str, int] | None = None,
     ):
         self.cfg = synth_cfg
         self.shards = shards  # list[ActorHandle] | None (no loopback)
         self.n_partitions = n_partitions
         self.max_retries = max_retries  # reference CrawlerConfig.max_retries
+        self.salted_hosts = salted_hosts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..schema import SPAN_STRUCT
@@ -116,7 +118,9 @@ class FetcherWorker:
                 ),
             }
         )
-        routed = canonicalize_batch(link_tbl, self.n_partitions)
+        routed = canonicalize_batch(
+            link_tbl, self.n_partitions, salted_hosts=self.salted_hosts
+        )
         pid = routed["partition_id"].to_numpy(zero_copy_only=False)
         refs = []
         for p in np.unique(pid):

@@ -59,6 +59,7 @@ class FrontierShard:
         restore_from: str | None = None,
         max_queue_rows: int | None = None,
         spill_dir: str | None = None,
+        salted_hosts: dict[str, int] | None = None,
     ):
         if restore_from is not None:
             # checkpoint restore path (used by the crawl driver's resume —
@@ -70,6 +71,13 @@ class FrontierShard:
         self.n_partitions = n_partitions
         self.robots = robots
         self.default_delay = default_delay
+        # hot-host salting (north star): hosts listed here spread their
+        # frontier over s sub-queues keyed "host#j" (j = url_hash % s),
+        # routed to different shards by the canonicalize stage; politeness
+        # stays exact because sub-queue j only fills wave slots
+        # (j + wave) % s, (..)+s, ... on the host's shared delay grid —
+        # no two sub-shards ever emit fetches closer than `delay`
+        self.salted_hosts = salted_hosts or {}
         if expected_urls < COLD_SHARD_THRESHOLD:
             self.probe = BloomFilter(capacity=max(1024, expected_urls * 4))
         else:
@@ -178,9 +186,18 @@ class FrontierShard:
                 blocked_total += int((~keep).sum())
                 g = g[keep]
             if len(g):
-                self.queues.setdefault(h, []).append(
-                    (prios[g], hashes[g], urls[g], depths[g])
-                )
+                s_count = self.salted_hosts.get(h, 1)
+                if s_count <= 1:
+                    self.queues.setdefault(h, []).append(
+                        (prios[g], hashes[g], urls[g], depths[g])
+                    )
+                else:
+                    salt = (hashes[g] % np.uint64(s_count)).astype(np.int64)
+                    for j in np.unique(salt):
+                        sub = g[salt == j]
+                        self.queues.setdefault(f"{h}#{j}", []).append(
+                            (prios[sub], hashes[sub], urls[sub], depths[sub])
+                        )
                 self._mem_rows += len(g)
         counts["robots_blocked"] = blocked_total
         counts["admitted"] = len(new_idx) - blocked_total
@@ -225,9 +242,10 @@ class FrontierShard:
         wave_start = t * wave_duration
         u_parts, h_parts, host_parts, p_parts, d_parts, s_parts = [], [], [], [], [], []
         hosts_with_rows = {k for k, q in self.queues.items() if q} | set(self.spilled)
-        for h in sorted(hosts_with_rows):
-            runs = list(self.queues.get(h, ()))
-            for path, _rows in self.spilled.pop(h, ()):
+        for qkey in sorted(hosts_with_rows):
+            h, _, saltpart = qkey.partition("#")
+            runs = list(self.queues.get(qkey, ()))
+            for path, _rows in self.spilled.pop(qkey, ()):
                 with open(path, "rb") as f:
                     runs.extend(pickle.load(f))
             prio = np.concatenate([r[0] for r in runs])
@@ -239,21 +257,30 @@ class FrontierShard:
             order = np.lexsort((uh, -prio))
             delay = self.robots.get(h, ((), self.default_delay))[1]
             budget = max(1, int(wave_duration // delay))
-            take = order[:budget]
-            rest = order[budget:]
-            self._mem_rows -= sum(len(r[0]) for r in self.queues.get(h, ()))
+            if saltpart:
+                # sub-shard j of s fills interleaved slots on the host's
+                # politeness grid, rotated per wave for fairness
+                j = int(saltpart)
+                s_count = self.salted_hosts.get(h, 1)
+                offset = (j + t) % s_count
+                slots = np.arange(offset, budget, s_count, dtype=np.int64)
+            else:
+                slots = np.arange(budget, dtype=np.int64)
+            take = order[: len(slots)]
+            rest = order[len(slots):]
+            self._mem_rows -= sum(len(r[0]) for r in self.queues.get(qkey, ()))
             if len(rest):
-                self.queues[h] = [(prio[rest], uh[rest], uu[rest], dd[rest])]
+                self.queues[qkey] = [(prio[rest], uh[rest], uu[rest], dd[rest])]
                 self._mem_rows += len(rest)
             else:
-                self.queues.pop(h, None)
+                self.queues.pop(qkey, None)
             k = len(take)
             u_parts.append(uu[take])
             h_parts.append(uh[take])
             host_parts.append(np.full(k, h, dtype=object))
             p_parts.append(prio[take])
             d_parts.append(dd[take])
-            s_parts.append(wave_start + np.arange(k, dtype=np.float64) * delay)
+            s_parts.append(wave_start + slots[:k].astype(np.float64) * delay)
         if u_parts:
             urls = np.concatenate(u_parts)
             hashes = np.concatenate(h_parts)
@@ -344,6 +371,7 @@ class FrontierShard:
             "spill_dir": self.spill_dir,
             "spill_seq": self._spill_seq,
             "spilled": self.spilled,
+            "salted_hosts": self.salted_hosts,
         }
         path = os.path.join(ckpt_dir, f"shard_{self.partition_id:05d}.ckpt")
         fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
@@ -375,5 +403,6 @@ class FrontierShard:
         obj.spill_dir = state.get("spill_dir")
         obj._spill_seq = state.get("spill_seq", 0)
         obj.spilled = state.get("spilled", {})
+        obj.salted_hosts = state.get("salted_hosts", {})
         obj._mem_rows = sum(len(r[0]) for q in obj.queues.values() for r in q)
         return obj
