@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
         "rolling_fingerprint": text.rolling_hash_fingerprint,  # rows-only
+        "deterministic_sample": text.deterministic_sample,
+        "random_sample": text.random_sample,                   # rows-only
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
         "dedup_exact_prefix": dedup.dedup_exact_prefix,       # D1
@@ -255,6 +257,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, text FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1')
         """,
         "dedup_exact_text": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -111,6 +111,33 @@ def doc_fingerprint(sf_dir: str):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+def deterministic_sample(sf_dir: str, hex_digits: tuple[str, ...] = ("0", "1")):
+    """Deterministic 1/8 content sample: keep docs whose md5(text) starts
+    with a digit in ``hex_digits`` — the hash-based sampling pattern
+    (reproducible across runs/engines, unlike RNG sampling; used for
+    train/validation splits and A/B corpus cuts). SQL-oracle-checked."""
+    import numpy as np
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (
+                hashlib.md5(s.encode("utf-8")).hexdigest()[0] in hex_digits
+                for s in df["text"]
+            ),
+            dtype=bool,
+            count=len(df),
+        )
+        return df[keep][["doc_id", "text"]]
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def random_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
+    """Seeded random sample via Ray's native sampler (rows-only — the RNG
+    stream is engine-specific)."""
+    return _read_docs(sf_dir).random_sample(fraction, seed=seed)
+
+
 def rolling_hash_fingerprint(sf_dir: str):
     """(doc_id, winnow_fp): winnowing-style fingerprint — min FNV-1a-64 hash
     over the doc's 4-token shingles (a 1-element MinHash; rows-only check,
