@@ -182,10 +182,20 @@ def upsert_last_writer(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
-        return g[["user_id", "event_type", "value"]]
+        return (
+            g.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, False])
+            .drop_duplicates("user_id", keep="first")
+        )
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    # argmax-per-key is combinable: keep the per-batch winner (one row per
+    # key per batch), then pick the global winner over the tiny partials —
+    # the upsert analog of the partial-aggregate pattern
+    partials = ds.map_batches(latest, batch_format="pandas", batch_size=65536)
+    return (
+        partials.repartition(1)
+        .map_batches(latest, batch_format="pandas", batch_size=None)
+        .select_columns(["user_id", "event_type", "value"])
+    )
 
 
 # ----------------------------------------------------------- M1: key derivation
