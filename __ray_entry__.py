@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (stubbed decode, real plumbing) ---
         "media_features": multimodal.media_features,           # rows-only
         "media_resize_plan": multimodal.media_resize_plan,     # rows-only
+        "media_chunks": multimodal.media_chunks,               # rows-only
+        "text_embeddings": multimodal.text_embeddings,         # rows-only
         # --- crawl pipeline artifacts (rows-only; exact parity in pytest) ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,

@@ -117,6 +117,90 @@ def media_features(sf_dir: str):
     )
 
 
+def media_chunks(sf_dir: str, chunk_bytes: int = 64):
+    """Audio-style chunking: split each payload into fixed-size windows →
+    one row per (doc_id, chunk_idx) with the chunk's byte span — the
+    frame/segment-sampling stage shape (vectorized explode, no payload
+    copies beyond the slice table)."""
+    import pyarrow.compute as pc
+
+    media = synth_media_table(sf_dir)
+
+    def chunk(t: pa.Table) -> pa.Table:
+        lens = pc.binary_length(t["payload"]).to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum(1, -(-lens // chunk_bytes))  # ceil div
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(t.num_rows), n_chunks)
+        starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        idx = np.arange(int(n_chunks.sum())) - np.repeat(starts, n_chunks)
+        begin = idx * chunk_bytes
+        end = np.minimum(begin + chunk_bytes, lens[parent])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parent]),
+                "chunk_idx": pa.array(idx.astype(np.int32)),
+                "begin": pa.array(begin.astype(np.int64)),
+                "n_bytes": pa.array((end - begin).astype(np.int64)),
+            }
+        )
+
+    return media.map_batches(chunk, batch_format="pyarrow")
+
+
+class TextEmbedder:
+    """Actor-pool 'model inference' stage: deterministic stub embedding model
+    (hashed token n-gram projection into d dims, L2-normalized). The real
+    pattern: the projection matrix ('model weights') is built ONCE per actor
+    in __init__; __call__ embeds a batch with one matmul. Swap _embed for a
+    real encoder and nothing else changes."""
+
+    def __init__(self, dim: int = 32, vocab_hash_dim: int = 256, seed: int = 42):
+        from ..functions.hashing import fnv1a64_scalar
+        from ..state.bloom import _remix
+
+        self.dim = dim
+        self.vh = vocab_hash_dim
+        raw = _remix(
+            (np.arange(vocab_hash_dim * dim, dtype=np.uint64) + np.uint64(1))
+            * np.uint64(fnv1a64_scalar(f"embed|{seed}") | 1)
+        )
+        self.proj = (raw.astype(np.float64) / 2**64 - 0.5).reshape(vocab_hash_dim, dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import re
+
+        from ..functions.hashing import fnv1a64
+
+        vecs = np.zeros((batch.num_rows, self.dim))
+        token_re = re.compile(r"[a-z0-9]+")
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = token_re.findall(text.lower())
+            if not toks:
+                continue
+            h = fnv1a64(toks) % np.uint64(self.vh)
+            counts = np.bincount(h.astype(np.int64), minlength=self.vh).astype(np.float64)
+            v = counts @ self.proj
+            n = np.linalg.norm(v)
+            vecs[i] = v / n if n > 0 else v
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": pa.array(list(vecs.astype(np.float32))),
+            }
+        )
+
+
+def text_embeddings(sf_dir: str):
+    """documents → stub-model embeddings: actor pool, weights loaded once per
+    actor, batched 'inference' (rows-only; the model is a stand-in)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        TextEmbedder, batch_format="pyarrow", batch_size=1024, concurrency=2, num_cpus=1
+    )
+
+
 def media_resize_plan(sf_dir: str):
     """Frame/resize planning stage (pure metadata math, vectorized): compute
     the output geometry for a 256px-max resize without touching payloads —
