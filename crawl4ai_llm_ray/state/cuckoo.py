@@ -15,6 +15,9 @@ the correctness contract is exact seen-set equality).
 
 Design notes for 10^10 scale: one filter per frontier partition; with P=4096
 partitions and ~2.4M URLs per shard, a shard filter is 4M slots x 2B = 8 MB.
+(Structure follows the classic partial-key cuckoo filter of Fan et al.,
+CoNEXT 2014, as surveyed in PAPERS.md's "Learned Cuckoo Filter" entry —
+pattern only, implemented from scratch.)
 """
 
 from __future__ import annotations

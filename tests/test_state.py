@@ -53,6 +53,45 @@ class TestCuckoo:
             cf.insert_batch(_hashes(5000))
 
 
+class TestShardProbeGrowth:
+    def test_cuckoo_overflow_rebuilds_and_stays_exact(self, tmp_path):
+        """Overflowing the shard's cuckoo probe triggers an in-place rebuild
+        at double capacity; dedup stays exact throughout."""
+        import pyarrow as pa
+
+        from crawl4ai_llm_ray.functions.hashing import fnv1a64
+        from crawl4ai_llm_ray.schema import FRONTIER_SCHEMA
+        from crawl4ai_llm_ray.state.frontier import FrontierShard
+
+        shard = FrontierShard(0, 1, {}, expected_urls=5000)  # cuckoo cap 10k
+        start_buckets = shard.probe.nbuckets
+
+        def offer(n, base):
+            urls = [f"http://hz.test/p/{base + i}" for i in range(n)]
+            ua = pa.array(urls)
+            return shard.offer(
+                pa.table(
+                    {
+                        "url_canon": ua,
+                        "url_hash": pa.array(fnv1a64(ua)),
+                        "host": pa.array(["hz.test"] * n),
+                        "host_hash": pa.array(fnv1a64(pa.array(["hz.test"] * n))),
+                        "partition_id": pa.array(np.zeros(n, np.int32)),
+                        "priority": pa.array(np.ones(n, np.float32)),
+                        "depth": pa.array(np.zeros(n, np.int32)),
+                    },
+                    schema=FRONTIER_SCHEMA,
+                )
+            )
+
+        offer(30000, 0)  # 3x capacity → forced rebuild(s)
+        assert shard.probe.nbuckets > start_buckets
+        assert shard.queue_size() == 30000
+        # all 30k marked seen: re-offering dedups every row
+        counts = offer(30000, 0)
+        assert counts["admitted"] == 0 and counts["deduped"] == 30000
+
+
 class TestBloom:
     def test_add_contains(self):
         bf = BloomFilter(capacity=10000, fpp=1e-4)
