@@ -52,6 +52,37 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return fnv1a64(pa.array(sh, type=pa.string()))
 
 
+def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct n-gram shingle hashes for a whole batch of texts in one
+    vectorized pass: tokenize per doc (C regex), build all n-grams with Arrow
+    take+join over the flattened token stream, hash once, dedup per doc.
+
+    Returns (doc_idx, hashes): flat arrays sorted by (doc_idx, hash), one row
+    per DISTINCT shingle per doc. ~5x faster than per-doc hashing."""
+    import itertools
+
+    toks = [_TOKEN_RE.findall(t.lower()) for t in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    flat = pa.array(list(itertools.chain.from_iterable(toks)), type=pa.string())
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    ntri = np.maximum(0, counts - (n - 1))
+    total_tri = int(ntri.sum())
+    if total_tri == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    tri_doc = np.repeat(np.arange(len(toks)), ntri)
+    tri_starts = np.concatenate([[0], np.cumsum(ntri)[:-1]])
+    local = np.arange(total_tri) - np.repeat(tri_starts, ntri)
+    g = starts[tri_doc] + local
+    cols = [flat.take(pa.array(g + k)) for k in range(n)]
+    tri = pc.binary_join_element_wise(*cols, " ")
+    h = fnv1a64(tri)
+    order = np.lexsort((h, tri_doc))
+    td, hs = tri_doc[order], h[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (td[1:] != td[:-1]) | (hs[1:] != hs[:-1])
+    return td[first], hs[first]
+
+
 # ----------------------------------------------------------------- exact dedup
 def dedup_exact_text(sf_dir: str):
     """Exact dedup on full content: keep the min doc_id per text. The
@@ -115,17 +146,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
     ds = _read_docs(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows_doc, rows_sh = [], []
-        for did, text in zip(df["doc_id"], df["text"]):
-            h = _shingle_hashes(text, n)
-            rows_doc.append(np.full(len(h), did, dtype=np.int64))
-            rows_sh.append(h)
-        if not rows_doc:
-            return pd.DataFrame({"sh": np.empty(0, np.uint64), "doc_id": []})
+        di, hs = _shingle_hashes_batch(df["text"].tolist(), n)
         return pd.DataFrame(
             {
-                "sh": np.concatenate(rows_sh).astype(np.int64),  # groupby key
-                "doc_id": np.concatenate(rows_doc),
+                "sh": hs.astype(np.int64),  # join key
+                "doc_id": df["doc_id"].to_numpy()[di],
             }
         )
 
@@ -148,10 +173,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
 
     # broadcast per-doc shingle-set sizes (narrow: one int per doc)
     def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        di, _hs = _shingle_hashes_batch(df["text"].tolist(), n)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "nsh": [len(_shingles(t, n)) for t in df["text"]],
+                "nsh": np.bincount(di, minlength=len(df)).astype(np.int64),
             }
         )
 
@@ -196,18 +222,15 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
     ds = _read_docs(sf_dir)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # batch-vectorized minhash: concatenate all docs' shingle hashes,
+        # batch-vectorized minhash: one shingle pass for the whole batch,
         # seeded-remix into a (N_MINHASH, total) matrix, per-doc minima via
         # minimum.reduceat, then fold each band with a vectorized remix chain
-        per_doc = [_shingle_hashes(t, n) for t in df["text"]]
-        counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+        di, allh = _shingle_hashes_batch(df["text"].tolist(), n)
+        counts = np.bincount(di, minlength=len(df)).astype(np.int64)
         docs_idx = np.flatnonzero(counts > 0)
         sigs = np.full((len(df), N_MINHASH), np.uint64(0xFFFFFFFFFFFFFFFF))
         if len(docs_idx):
-            allh = np.concatenate([per_doc[i] for i in docs_idx])
-            starts = np.concatenate(
-                [[0], np.cumsum(counts[docs_idx])[:-1]]
-            ).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(counts)])[docs_idx]
             m = _remix(allh[None, :] ^ _MINHASH_SEEDS[:, None])  # (64, total)
             sigs[docs_idx] = np.minimum.reduceat(m, starts, axis=1).T
         bands = sigs.reshape(len(df), N_BANDS, -1)
@@ -246,10 +269,14 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
     # (documents is the small side here; at 100 TB verification becomes a
     # repartition-join of (doc_id → shingle hashes) against the candidates)
     def shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
+        di, hs = _shingle_hashes_batch(df["text"].tolist(), n)
+        counts = np.bincount(di, minlength=len(df))
+        bounds = np.cumsum(counts)[:-1]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "sh": [np.sort(_shingle_hashes(t, n)) for t in df["text"]],
+                # already sorted by (doc, hash) → per-doc slices are sorted
+                "sh": np.split(hs, bounds),
             }
         )
 
