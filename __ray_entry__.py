@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_span_explode": crawl_queries.crawl_span_explode,
         "crawl_metrics": crawl_queries.crawl_metrics,
         "crawl_seen_set": crawl_queries.crawl_seen_set,
+        "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
     }
 
 

@@ -111,6 +111,40 @@ def crawl_metrics(sf_dir: str = ""):
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
 
+def doc_lookup(out_dir: str, doc_ids: list[str]):
+    """Point/batch read by doc_id over the crawled corpus (reference
+    get_product(s) semantics, json_storage.py:300-379): parquet scan with a
+    pushed-down ``isin`` filter — only row groups that can contain the keys
+    are read. Raises KeyError listing missing ids (the reference's
+    ProductNotFoundError contract)."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    import os
+
+    tbl = pq.read_table(
+        os.path.join(out_dir, "docs"),
+        filters=pc_.field("doc_id").isin(doc_ids),
+    )
+    found = set(tbl["doc_id"].to_pylist())
+    missing = [d for d in doc_ids if d not in found]
+    if missing:
+        raise KeyError(f"doc ids not found: {missing}")
+    return tbl
+
+
+def crawl_doc_lookup(sf_dir: str = ""):
+    """Driver query: look up the first three crawled docs by id."""
+    out = ensure_crawl()
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(os.path.join(out, "docs"), columns=["doc_id"])["doc_id"]
+        .to_pylist()[:3]
+    )
+    return doc_lookup(out, ids)
+
+
 def crawl_seen_set(sf_dir: str = ""):
     """The final URL-seen set (sorted u64 hashes as int64 for Arrow/SQL)."""
     import pyarrow.parquet as pq
