@@ -115,6 +115,79 @@ def test_metrics_equality(engine, golden):
     assert got == want
 
 
+def test_resume_with_checkpoint_interval(ray_session, tmp_path, golden):
+    """checkpoint_interval=2: the resume point can precede completed waves,
+    which must be wiped and deterministically re-run."""
+    out = str(tmp_path / "ckpt2_out")
+    partial = run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        max_waves=3,  # waves 0,1,2 done; last checkpoint at wave 2
+        checkpoint_interval=2,
+        expected_urls_per_shard=2048,
+    )
+    assert partial.n_waves == 3
+    full = run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        resume=True,
+        checkpoint_interval=2,
+        expected_urls_per_shard=2048,
+    )
+    assert full.seen_hashes.tolist() == golden["seen"]
+    docs = _engine_docs(out)
+    assert set(docs) == set(golden["docs"])
+    for url, gspans in golden["docs"].items():
+        assert docs[url] == gspans
+
+
+@pytest.mark.parametrize(
+    "cfg,npart,salted",
+    [
+        (SynthWebConfig(seed=7, n_hosts=9, base_pages=25, n_seeds=4), 3, None),
+        (
+            SynthWebConfig(
+                seed=1234, n_hosts=15, base_pages=30, n_seeds=8, p_transient_fail=0.1
+            ),
+            5,
+            {"h000.test": 2},
+        ),
+    ],
+)
+def test_parity_fuzz_configs(ray_session, tmp_path, cfg, npart, salted):
+    """Parity must hold across corpus shapes, partition counts, failures and
+    salting simultaneously."""
+    golden = oracle_crawl(cfg, n_partitions=npart, salted_hosts=salted)
+    res = run_crawl(
+        cfg,
+        str(tmp_path / "fuzz"),
+        n_partitions=npart,
+        fetch_concurrency=2,
+        expected_urls_per_shard=2048,
+        salted_hosts=salted,
+    )
+    assert res.seen_hashes.tolist() == golden["seen"]
+    docs = _engine_docs(res.out_dir)
+    assert set(docs) == set(golden["docs"])
+    for url, gspans in golden["docs"].items():
+        assert docs[url] == gspans
+    order = crawl_order(res.out_dir)
+    got = list(
+        zip(
+            order["seq"].to_pylist(),
+            order["url_canon"].to_pylist(),
+            order["wave"].to_pylist(),
+            order["host"].to_pylist(),
+            order["scheduled_t"].to_pylist(),
+        )
+    )
+    assert got == golden["order"]
+
+
 def test_resume_equivalence(ray_session, tmp_path, golden):
     """Kill after wave 2 (simulated by max_waves), resume, final state equal."""
     out = str(tmp_path / "resume_out")
