@@ -22,6 +22,7 @@ from crawl4ai_llm_ray.pipelines import (
     multimodal,
     relational,
     relational2,
+    relational3,
     text,
 )
 
@@ -58,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": relational2.window_sliding,         # §2.9
         "sessionize": relational2.sessionize,                 # §2.9
         "token_count_bpe": relational2.token_count_bpe,
+        "topk_per_group": relational3.topk_per_group,
+        "quantiles_per_group": relational3.quantiles_per_group,
+        "corr_per_group": relational3.corr_per_group,
+        "rolling_mean": relational3.rolling_mean,
         # --- text analysis ---
         "token_count": text.token_count,
         "quality_score": text.quality_score,
@@ -223,6 +228,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(sec) AS session_start_sec,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) WHERE rn <= 3
+        """,
+        "quantiles_per_group": """
+            SELECT o_orderpriority,
+                   round(quantile_disc(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_disc(o_totalprice, 0.9), 2) AS p90
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "corr_per_group": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rolling_mean": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+            FROM events
         """,
         "token_count_bpe": """
             SELECT doc_id,
