@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_per_group": relational3.quantiles_per_group,
         "corr_per_group": relational3.corr_per_group,
         "rolling_mean": relational3.rolling_mean,
+        "approx_distinct_hll": relational3.approx_distinct_hll,  # rows-only
         # --- text analysis ---
         "token_count": text.token_count,
         "quality_score": text.quality_score,

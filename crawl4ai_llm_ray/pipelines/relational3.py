@@ -96,6 +96,38 @@ def corr_per_group(sf_dir: str):
     )
 
 
+def approx_distinct_hll(sf_dir: str, p: int = 12):
+    """Approximate distinct o_custkey via mergeable HyperLogLog sketches: one
+    serialized sketch per batch, elementwise-max merge in a tiny final stage —
+    the sketch-aggregation shape that never shuffles raw keys (rows-only;
+    relative error vs exact asserted in tests)."""
+    from ..functions.hashing import fnv1a64
+    from ..state.hll import HyperLogLog
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hll = HyperLogLog(p)
+        hll.add_hashes(fnv1a64(pc.cast(t["o_custkey"], pa.string())))
+        return pa.table({"sketch": pa.array([hll.to_bytes()], type=pa.binary())})
+
+    partials = ds.map_batches(sketch, batch_format="pyarrow", batch_size=65536)
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..state.hll import HyperLogLog as H
+
+        acc = None
+        for b in t["sketch"].to_pylist():
+            s = H.from_bytes(b)
+            acc = s if acc is None else acc.merge(s)
+        est = int(round(acc.estimate())) if acc else 0
+        return pa.table({"approx_distinct_custkeys": pa.array([est], type=pa.int64())})
+
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
 def rolling_mean(sf_dir: str, window: int = 3):
     """Per-user rolling mean of the last `window` event values in ts order —
     the frame-based window function (SQL: AVG OVER (PARTITION BY ... ORDER BY
