@@ -78,7 +78,15 @@ _INDEX_FIELDS = ("sku", "url", "store_name", "title")
 
 
 class ArrowProductStore:
-    def __init__(self, directory: str, flush_every: int = 0):
+    """Arrow/parquet-backed drop-in for the reference JSONStorage.
+
+    Durability matches the reference by default: every mutation writes
+    through to disk (``flush_every=1``, reference JSONStorage persists each
+    operation — json_storage.py:199-221). Pass ``flush_every=N`` (>1) to
+    batch flushes, or ``flush_every=0`` to flush only on explicit
+    ``flush()`` — both are opt-in deviations for throughput."""
+
+    def __init__(self, directory: str, flush_every: int = 1):
         self.directory = directory
         try:
             os.makedirs(directory, exist_ok=True)

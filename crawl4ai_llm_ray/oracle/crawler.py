@@ -23,6 +23,7 @@ between same-host requests (``/root/reference/crawl4ai_llm/config.py:56``,
 from __future__ import annotations
 
 import heapq
+import math
 from collections import defaultdict
 
 from ..functions.hashing import fnv1a64_scalar
@@ -128,6 +129,11 @@ def oracle_crawl(
             host, _, saltpart = qkey.partition("#")
             q = queues[qkey]
             delay = robots.get(host, ((), 1.0))[1]
+            # politeness stride (see frontier.py contract): delay > wave
+            # duration ⇒ fetch only every ceil(delay/wave_duration)-th wave
+            stride = math.ceil(delay / wave_duration)
+            if stride > 1 and t % stride != 0:
+                continue
             budget = max(1, int(wave_duration // delay))
             if saltpart:
                 s_count = salted_hosts.get(host, 1)

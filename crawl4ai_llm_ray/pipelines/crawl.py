@@ -51,10 +51,22 @@ class CrawlResult:
     out_dir: str
     n_waves: int
     n_docs: int
-    seen_hashes: np.ndarray
+    seen_dir: str  # partitioned per-shard seen-set ("" when not persisted)
     metrics: pa.Table
     wave_counts: list[int] = field(default_factory=list)
     phase_secs: dict = field(default_factory=dict)  # telemetry: where time went
+
+    @property
+    def seen_hashes(self) -> np.ndarray:
+        """Sorted union of all shards' seen hashes. Loads the partitioned
+        parquet — test/small-scale convenience only; at 10^10 URLs consume
+        the `seen_dir` partitions as a Dataset instead."""
+        import pyarrow.parquet as pq
+
+        if not self.seen_dir or not os.path.isdir(self.seen_dir):
+            return np.empty(0, dtype=np.uint64)
+        t = pq.read_table(self.seen_dir, columns=["url_hash"])
+        return np.sort(t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -188,9 +200,17 @@ def run_crawl(
         if inline_wave:
             import pyarrow.parquet as pq
 
+            from ..schema import WAVE_SCHEMA
+
             t0 = _time.time()
             tables = ray.get([s.next_wave.remote(wave_duration) for s in shards])
-            wave_tbl = pa.concat_tables([x for x in tables if x.num_rows])
+            nonempty = [x for x in tables if x.num_rows]
+            # a wave can drain 0 rows with non-empty queues (every host
+            # politeness-stride-skipped) — still commit an (empty) wave dir so
+            # wave numbering/lineage stay dense and the crawl advances
+            wave_tbl = (
+                pa.concat_tables(nonempty) if nonempty else WAVE_SCHEMA.empty_table()
+            )
             phase["drain"] += _time.time() - t0
             t0 = _time.time()
             os.makedirs(tmp, exist_ok=True)
@@ -231,22 +251,25 @@ def run_crawl(
                 for s in shards
             ]
             refs = [r for g in ray.get(gens) for r in g]
-            wave_ds = rd.from_arrow_refs(refs)
             phase["drain"] += _time.time() - t0
 
             t0 = _time.time()
-            fetched = wave_ds.map_batches(
-                worker,
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=fetch_concurrency,
-            )
-            fetched.write_parquet(tmp)
+            if refs:
+                fetched = rd.from_arrow_refs(refs).map_batches(
+                    worker,
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    concurrency=fetch_concurrency,
+                )
+                fetched.write_parquet(tmp)
+            else:
+                # all hosts stride-skipped this wave: commit an empty wave dir
+                os.makedirs(tmp, exist_ok=True)
             os.replace(tmp, final)  # atomic wave commit
             phase["fetch_write"] += _time.time() - t0
             if os.environ.get("GRAFT_CRAWL_DEBUG"):
                 print(f"[wave {t}] rows={sum(qs)} fetch_write={_time.time()-t0:.2f}s")
-                if t == 6:
+                if t == 6 and refs:
                     print(fetched.stats())
         t0 = _time.time()
         wave_counts.append(_count_wave_rows(final))
@@ -264,16 +287,16 @@ def run_crawl(
     _write_manifest(out_dir, {"next_wave": t, "n_partitions": n_partitions})
 
     metrics = pa.concat_tables(ray.get([s.metrics_table.remote() for s in shards]))
-    seen = np.sort(np.concatenate(ray.get([s.seen_hashes.remote() for s in shards])))
+    # per-shard seen persistence: each shard writes its own partition — raw
+    # hashes never transit or concatenate on the driver (≈80 GB at 10^10 URLs)
+    seen_dir = os.path.join(out_dir, "seen")
+    ray.get([s.persist_seen.remote(seen_dir) for s in shards])
     for s in shards:
         ray.kill(s)
     # persist the small summary tables (queryable artifacts of the run)
     import pyarrow.parquet as pq
 
     pq.write_table(metrics, os.path.join(out_dir, "metrics.parquet"))
-    pq.write_table(
-        pa.table({"url_hash": pa.array(seen)}), os.path.join(out_dir, "seen.parquet")
-    )
     n_docs = sum(
         _count_wave_rows(os.path.join(docs_dir, d))
         for d in os.listdir(docs_dir)
@@ -283,7 +306,7 @@ def run_crawl(
         out_dir=out_dir,
         n_waves=t,
         n_docs=int(n_docs),
-        seen_hashes=seen,
+        seen_dir=seen_dir,
         metrics=metrics,
         wave_counts=wave_counts,
         phase_secs={k: round(v, 2) for k, v in phase.items()},
@@ -491,8 +514,8 @@ def run_frontier_drain(
     res = CrawlResult(
         out_dir=out_dir,
         n_waves=t,
-        n_docs=int(sum(wave_counts)),
-        seen_hashes=np.empty(0, dtype=np.uint64),
+        n_docs=_count_wave_rows(docs_dir),
+        seen_dir="",
         metrics=metrics,
         wave_counts=wave_counts,
         phase_secs={k: round(v, 2) for k, v in phase.items()},

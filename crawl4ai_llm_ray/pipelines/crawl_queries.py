@@ -150,5 +150,8 @@ def crawl_seen_set(sf_dir: str = ""):
     import pyarrow.parquet as pq
 
     out = ensure_crawl()
-    t = pq.read_table(os.path.join(out, "seen.parquet"))
-    return pa.table({"url_hash": t["url_hash"].cast(pa.uint64())})
+    # `seen/` is partitioned per shard (part-{pid}.parquet); read + sort here
+    # is test-scale only — at 10^10 the partitions are consumed as a Dataset
+    t = pq.read_table(os.path.join(out, "seen"), columns=["url_hash"])
+    idx = pa.compute.sort_indices(t, sort_keys=[("url_hash", "ascending")])
+    return pa.table({"url_hash": t["url_hash"].take(idx).cast(pa.uint64())})

@@ -67,6 +67,10 @@ class SynthWebConfig:
     # `fail_until` attempts
     p_transient_fail: float = 0.0
     max_fail_attempts: int = 4
+    # when > 0, every host with i % 11 == 3 declares this Crawl-delay —
+    # set it above wave_duration to exercise the politeness stride
+    # (frontier.py next_wave / oracle crawler)
+    slow_host_delay: float = 0.0
 
     def n_pages(self, host_idx: int) -> int:
         return max(1, int(self.base_pages / (host_idx + 1) ** self.zipf_a))
@@ -462,6 +466,8 @@ def robots_rules(cfg: SynthWebConfig) -> dict[str, tuple[tuple[str, ...], float]
             delay = 0.5
         elif i % 7 == 2:
             delay = 2.0
+        if cfg.slow_host_delay > 0 and i % 11 == 3:
+            delay = cfg.slow_host_delay
         rules[cfg.host(i)] = (prefixes, delay)
     return rules
 

@@ -16,12 +16,18 @@ Determinism contract (shared with the oracle crawler, see oracle/crawler.py):
   * offer-time in-batch dedup keeps the max-priority row per url_hash
     (order-independent — priority is a pure function of depth, so ties are
     exact);
-  * seen/robots checks at offer time; robots-blocked URLs are marked seen and
-    counted once;
+  * offers land in a per-wave STAGING buffer; the wave barrier (next_wave)
+    flushes staging into the queues with a max-priority-per-hash resolve, so
+    the same URL discovered by two concurrent fetch tasks in the same wave at
+    different depths resolves identically regardless of offer arrival order
+    (matches the oracle's whole-wave batched offer);
+  * seen/robots checks at offer time; robots rules match on the URL *path*
+    (scheme-independent); robots-blocked URLs are marked seen and counted once;
   * wave ``t`` drains, per host, up to ``max(1, floor(wave_duration/delay))``
     URLs in (priority desc, url_hash asc) order, scheduled at
-    ``t*wave_duration + k*delay`` — consecutive same-host fetches are always
-    ≥ delay apart (the politeness invariant);
+    ``t*wave_duration + k*delay``; a host with ``delay > wave_duration``
+    fetches only on every ``ceil(delay/wave_duration)``-th wave — consecutive
+    same-host fetches are always ≥ delay apart (the politeness invariant);
   * global crawl order = sort by (scheduled_t, host, url_hash).
 
 The class is plain Python (unit-testable); the crawl pipeline wraps it with
@@ -40,12 +46,20 @@ import pyarrow as pa
 from ..schema import WAVE_SCHEMA
 from .bloom import BloomFilter
 from .cuckoo import CuckooFilter
-from .u64set import U64Set
+from .u64set import U64MaxMap, U64Set
 
 # A shard whose expected URL count is below this uses a bloom probe instead of
 # a cuckoo filter ("bloom fallback for cold shards") — the bloom is smaller and
 # needs no kickout bookkeeping; exactness still comes from the U64Set confirm.
 COLD_SHARD_THRESHOLD = 4096
+
+
+def _url_path(url: str) -> str:
+    """Path component of a canonical URL ("/" when absent). Robots disallow
+    prefixes match on the PATH, scheme-independently — matching the oracle
+    (oracle/crawler.py) and real robots.txt semantics (an https URL must not
+    bypass a '/private' disallow)."""
+    return "/" + (url.split("/", 3)[3] if url.count("/") >= 3 else "")
 
 
 class FrontierShard:
@@ -87,6 +101,16 @@ class FrontierShard:
         # appended vectorized at offer time, merged+sorted once per wave at
         # drain time (replaces a per-item python heap — ~20x less CPU/url)
         self.queues: dict[str, list] = {}
+        # per-WAVE staging: offers accumulate here and are flushed into
+        # `queues` at the wave barrier with a max-priority-per-hash resolve —
+        # concurrent fetch tasks' offer order cannot affect queue state.
+        # stage_prio maps hashes admitted this wave to their best staged
+        # priority, so a same-wave re-offer re-enters staging ONLY when it is
+        # a strict priority upgrade (equal-priority duplicates are dropped).
+        self.staging: dict[str, list] = {}
+        self.stage_spilled: dict[str, list[tuple[str, int]]] = {}  # host → [(path, rows)]
+        self.stage_prio = U64MaxMap()
+        self._stage_rows = 0
         self.wave = 0
         self.metrics_rows: list[dict] = []
         self._wave_counts = self._zero_counts()
@@ -156,67 +180,146 @@ class FrontierShard:
         seen = self._seen_mask(sub_hash)
         counts["deduped"] += int(seen.sum())
         new_idx = keep_idx[~seen]
-        if len(new_idx) == 0:
+        # same-wave re-offers: a seen row re-enters staging iff its hash was
+        # staged this wave AND it carries a strictly higher priority — the
+        # wave barrier then resolves max-priority per hash order-independently
+        # (the oracle batches a whole wave's discoveries into one offer with
+        # in-batch max-priority dedup). Equal/lower-priority duplicates are
+        # dropped here, keeping staging bounded by unique URLs per wave.
+        restage_idx = np.empty(0, dtype=keep_idx.dtype)
+        if seen.any():
+            s_pos = np.flatnonzero(seen)
+            best = self.stage_prio.get_batch(sub_hash[s_pos])
+            upgrade = (best > -np.inf) & (
+                priority[keep_idx[s_pos]].astype(np.float32) > best
+            )
+            restage_idx = keep_idx[s_pos[upgrade]]
+        if len(new_idx) == 0 and len(restage_idx) == 0:
             self._merge_counts(counts)
             return counts
 
-        urls = np.asarray(
-            table["url_canon"].take(pa.array(new_idx)).to_pylist(), dtype=object
-        )
-        hosts = np.asarray(
-            table["host"].take(pa.array(new_idx)).to_pylist(), dtype=object
-        )
-        prios = priority[new_idx].astype(np.float32)
-        depths = table["depth"].to_numpy(zero_copy_only=False)[new_idx].astype(np.int32)
-        hashes = url_hash[new_idx]
+        depths_all = table["depth"].to_numpy(zero_copy_only=False)
 
-        # robots gate + enqueue, grouped by host (vectorized per group)
-        blocked_total = 0
-        uniq_hosts, inv = np.unique(hosts, return_inverse=True)
-        for gi, h in enumerate(uniq_hosts):
-            g = np.flatnonzero(inv == gi)
-            prefixes = self.robots.get(h, ((), self.default_delay))[0]
-            if prefixes:
-                pref_full = tuple(f"http://{h}{p}" for p in prefixes)
-                keep = np.fromiter(
-                    (not u.startswith(pref_full) for u in urls[g]),
+        if len(new_idx):
+            urls = np.asarray(
+                table["url_canon"].take(pa.array(new_idx)).to_pylist(), dtype=object
+            )
+            hosts = np.asarray(
+                table["host"].take(pa.array(new_idx)).to_pylist(), dtype=object
+            )
+            prios = priority[new_idx].astype(np.float32)
+            depths = depths_all[new_idx].astype(np.int32)
+            hashes = url_hash[new_idx]
+
+            # robots gate (match by PATH — scheme-independent, like the oracle)
+            blocked_total = 0
+            keep_rows = np.ones(len(new_idx), dtype=bool)
+            uniq_hosts, inv = np.unique(hosts, return_inverse=True)
+            for gi, h in enumerate(uniq_hosts):
+                prefixes = self.robots.get(h, ((), self.default_delay))[0]
+                if not prefixes:
+                    continue
+                g = np.flatnonzero(inv == gi)
+                blocked = np.fromiter(
+                    (_url_path(u).startswith(prefixes) for u in urls[g]),
                     dtype=bool,
                     count=len(g),
                 )
-                blocked_total += int((~keep).sum())
-                g = g[keep]
-            if len(g):
-                s_count = self.salted_hosts.get(h, 1)
-                if s_count <= 1:
-                    self.queues.setdefault(h, []).append(
-                        (prios[g], hashes[g], urls[g], depths[g])
-                    )
-                else:
-                    salt = (hashes[g] % np.uint64(s_count)).astype(np.int64)
-                    for j in np.unique(salt):
-                        sub = g[salt == j]
-                        self.queues.setdefault(f"{h}#{j}", []).append(
-                            (prios[sub], hashes[sub], urls[sub], depths[sub])
-                        )
-                self._mem_rows += len(g)
-        counts["robots_blocked"] = blocked_total
-        counts["admitted"] = len(new_idx) - blocked_total
-        # mark everything (admitted + robots-blocked) seen
-        self._probe_insert(hashes)
+                blocked_total += int(blocked.sum())
+                keep_rows[g[blocked]] = False
+            counts["robots_blocked"] = blocked_total
+            counts["admitted"] = len(new_idx) - blocked_total
+            k = np.flatnonzero(keep_rows)
+            if len(k):
+                self._enqueue_staging(hosts[k], prios[k], hashes[k], urls[k], depths[k])
+                self.stage_prio.add_batch(hashes[k], prios[k])
+            # mark everything (admitted + robots-blocked) seen
+            self._probe_insert(hashes)
+
+        if len(restage_idx):
+            r_urls = np.asarray(
+                table["url_canon"].take(pa.array(restage_idx)).to_pylist(), dtype=object
+            )
+            r_hosts = np.asarray(
+                table["host"].take(pa.array(restage_idx)).to_pylist(), dtype=object
+            )
+            r_prios = priority[restage_idx].astype(np.float32)
+            self._enqueue_staging(
+                r_hosts,
+                r_prios,
+                url_hash[restage_idx],
+                r_urls,
+                depths_all[restage_idx].astype(np.int32),
+            )
+            self.stage_prio.add_batch(url_hash[restage_idx], r_prios)
         self._maybe_spill()
         self._merge_counts(counts)
         return counts
 
+    def _enqueue_staging(self, hosts, prios, hashes, urls, depths) -> None:
+        """Append rows to the wave's staging buffer, grouped by host (salted
+        hosts spread over sub-queues keyed host#j)."""
+        uniq_hosts, inv = np.unique(hosts, return_inverse=True)
+        for gi, h in enumerate(uniq_hosts):
+            g = np.flatnonzero(inv == gi)
+            s_count = self.salted_hosts.get(h, 1)
+            if s_count <= 1:
+                self.staging.setdefault(h, []).append(
+                    (prios[g], hashes[g], urls[g], depths[g])
+                )
+            else:
+                salt = (hashes[g] % np.uint64(s_count)).astype(np.int64)
+                for j in np.unique(salt):
+                    sub = g[salt == j]
+                    self.staging.setdefault(f"{h}#{j}", []).append(
+                        (prios[sub], hashes[sub], urls[sub], depths[sub])
+                    )
+            self._stage_rows += len(g)
+
+    def _flush_staging(self) -> None:
+        """Wave barrier: resolve staged offers (max-priority per url_hash,
+        order-independent) into the drain queues. Staged hashes are disjoint
+        from already-queued hashes (the seen-set admits each hash once), so
+        the resolve never needs to look at `queues`."""
+        for qkey in sorted(set(self.staging) | set(self.stage_spilled)):
+            runs = list(self.staging.get(qkey, ()))
+            for path, _rows in self.stage_spilled.pop(qkey, ()):
+                with open(path, "rb") as f:
+                    runs.extend(pickle.load(f))
+            prio = np.concatenate([r[0] for r in runs])
+            uh = np.concatenate([r[1] for r in runs])
+            uu = np.concatenate([r[2] for r in runs])
+            dd = np.concatenate([r[3] for r in runs])
+            if len(runs) > 1:
+                order = np.lexsort((-prio, uh))
+                uh_s = uh[order]
+                first = np.ones(len(order), dtype=bool)
+                first[1:] = uh_s[1:] != uh_s[:-1]
+                sel = order[first]
+                prio, uh, uu, dd = prio[sel], uh[sel], uu[sel], dd[sel]
+            self.queues.setdefault(qkey, []).append((prio, uh, uu, dd))
+            self._mem_rows += len(prio)
+        self.staging = {}
+        self.stage_prio = U64MaxMap()
+        self._stage_rows = 0
+        self._maybe_spill()
+
     def _maybe_spill(self) -> None:
-        if self.max_queue_rows is None or self._mem_rows <= self.max_queue_rows:
+        if self.max_queue_rows is None:
+            return
+        total = self._mem_rows + self._stage_rows
+        if total <= self.max_queue_rows:
             return
         os.makedirs(self.spill_dir, exist_ok=True)
-        # spill the largest hosts' in-memory runs until back under the bound
-        by_size = sorted(
-            self.queues.items(), key=lambda kv: -sum(len(r[0]) for r in kv[1])
-        )
-        for h, runs in by_size:
-            if self._mem_rows <= self.max_queue_rows:
+        # spill the largest in-memory hosts' runs (queued AND staged) until
+        # back under the bound; spill files are immutable, reloaded at drain
+        # (queues) or at the wave-barrier flush (staging)
+        cands = [("q", h, runs) for h, runs in self.queues.items()] + [
+            ("s", h, runs) for h, runs in self.staging.items()
+        ]
+        cands.sort(key=lambda kv: -sum(len(r[0]) for r in kv[2]))
+        for kind, h, runs in cands:
+            if total <= self.max_queue_rows:
                 break
             rows = sum(len(r[0]) for r in runs)
             path = os.path.join(
@@ -225,9 +328,15 @@ class FrontierShard:
             self._spill_seq += 1
             with open(path, "wb") as f:
                 pickle.dump(runs, f, protocol=pickle.HIGHEST_PROTOCOL)
-            self.spilled.setdefault(h, []).append((path, rows))
-            del self.queues[h]
-            self._mem_rows -= rows
+            if kind == "q":
+                self.spilled.setdefault(h, []).append((path, rows))
+                del self.queues[h]
+                self._mem_rows -= rows
+            else:
+                self.stage_spilled.setdefault(h, []).append((path, rows))
+                del self.staging[h]
+                self._stage_rows -= rows
+            total -= rows
 
     def _merge_counts(self, counts: dict) -> None:
         for k, v in counts.items():
@@ -238,12 +347,24 @@ class FrontierShard:
         """Drain the politeness-eligible top of every host queue for the next
         wave. Returns a WAVE_SCHEMA table sorted by (scheduled_t, host,
         url_hash); advances the shard's wave counter and seals metrics."""
+        import math
+
         t = self.wave
+        self._flush_staging()
         wave_start = t * wave_duration
         u_parts, h_parts, host_parts, p_parts, d_parts, s_parts = [], [], [], [], [], []
         hosts_with_rows = {k for k, q in self.queues.items() if q} | set(self.spilled)
         for qkey in sorted(hosts_with_rows):
             h, _, saltpart = qkey.partition("#")
+            delay = self.robots.get(h, ((), self.default_delay))[1]
+            # politeness stride: a host with delay > wave_duration fetches only
+            # on every ceil(delay/wave_duration)-th wave (slot at wave start) —
+            # consecutive fetches land stride*wave_duration ≥ delay apart.
+            # Pure function of (t, delay): no cross-wave or cross-shard state,
+            # so salted sub-shards on different shards agree without talking.
+            stride = math.ceil(delay / wave_duration)
+            if stride > 1 and t % stride != 0:
+                continue
             runs = list(self.queues.get(qkey, ()))
             for path, _rows in self.spilled.pop(qkey, ()):
                 with open(path, "rb") as f:
@@ -255,7 +376,6 @@ class FrontierShard:
             # (priority desc, url_hash asc) — one vectorized sort per host per
             # wave instead of per-item heap ops
             order = np.lexsort((uh, -prio))
-            delay = self.robots.get(h, ((), self.default_delay))[1]
             budget = max(1, int(wave_duration // delay))
             if saltpart:
                 # sub-shard j of s fills interleaved slots on the host's
@@ -337,11 +457,32 @@ class FrontierShard:
     # ------------------------------------------------------------------ state
     def queue_size(self) -> int:
         mem = sum(len(r[0]) for q in self.queues.values() for r in q)
-        spilled = sum(rows for lst in self.spilled.values() for _, rows in lst)
-        return mem + spilled
+        spilled = sum(
+            rows
+            for d in (self.spilled, self.stage_spilled)
+            for lst in d.values()
+            for _, rows in lst
+        )
+        return mem + spilled + self._stage_rows
 
     def seen_hashes(self) -> np.ndarray:
         return self.exact.to_numpy()
+
+    def persist_seen(self, out_dir: str) -> str:
+        """Write this shard's seen-set as its own parquet partition. At scale
+        the driver must never concatenate raw hashes (~80 GB at 10^10 URLs);
+        each shard owns `seen/part-{pid}.parquet` and the union is just the
+        directory."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{self.partition_id:05d}.parquet")
+        tmp = path + f".tmp{self.partition_id}"
+        pq.write_table(
+            pa.table({"url_hash": pa.array(self.exact.to_numpy())}), tmp
+        )
+        os.replace(tmp, path)
+        return path
 
     def metrics_table(self) -> pa.Table:
         from ..schema import METRICS_SCHEMA
@@ -372,6 +513,9 @@ class FrontierShard:
             "spill_seq": self._spill_seq,
             "spilled": self.spilled,
             "salted_hosts": self.salted_hosts,
+            "staging": self.staging,
+            "stage_spilled": self.stage_spilled,
+            "stage_prio": self.stage_prio.to_bytes(),
         }
         path = os.path.join(ckpt_dir, f"shard_{self.partition_id:05d}.ckpt")
         fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
@@ -404,5 +548,9 @@ class FrontierShard:
         obj._spill_seq = state.get("spill_seq", 0)
         obj.spilled = state.get("spilled", {})
         obj.salted_hosts = state.get("salted_hosts", {})
+        obj.staging = state.get("staging", {})
+        obj.stage_spilled = state.get("stage_spilled", {})
+        obj.stage_prio = U64MaxMap.from_bytes(state.get("stage_prio", b""))
+        obj._stage_rows = sum(len(r[0]) for q in obj.staging.values() for r in q)
         obj._mem_rows = sum(len(r[0]) for q in obj.queues.values() for r in q)
         return obj

@@ -113,7 +113,9 @@ class TestSpill:
         )
         shard.offer(tbl)
         assert shard.queue_size() == 50
-        assert shard.spilled  # bound of 10 forced a spill
+        # bound of 10 forced a spill (offer-time rows sit in the wave staging
+        # buffer, so the spill lands in stage_spilled)
+        assert shard.spilled or shard.stage_spilled
         # checkpoint → restore keeps spilled rows reachable
         path = shard.checkpoint(str(tmp_path / "ck"))
         restored = FrontierShard.restore(path)
