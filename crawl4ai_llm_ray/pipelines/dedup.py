@@ -129,77 +129,90 @@ def dedup_exact_prefix(sf_dir: str, n_tokens: int = 5):
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
+_PAIR_EMPTY = pd.DataFrame(
+    {
+        "a": np.empty(0, np.int64),
+        "b": np.empty(0, np.int64),
+        "nsh_a": np.empty(0, np.int64),
+        "nsh_b": np.empty(0, np.int64),
+        "inter": np.empty(0, np.int64),
+        "ap": np.empty(0, np.int64),
+    }
+)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    n_shingle_parts: int = 32,
+    n_pair_parts: int = 32,
+):
     """ALL document pairs with 3-gram-shingle Jaccard ≥ threshold, computed
-    exactly: shingle → explode (shingle_hash, doc_id) → per-shingle pair
-    emission → pair-count groupby → Jaccard filter against broadcast set
-    sizes.
+    exactly and fully distributed — no driver materialization, no
+    single-partition funnel:
 
-    Scale strategy: the per-shingle group pair emission is quadratic in
-    shingle document-frequency — at 100 TB you first drop shingles with
-    df > cap (stop-shingles, which can only connect near-identical boilerplate)
-    or pre-cluster by MinHash (minhash_lsh_pairs below) and verify only
-    candidates. Here df is bounded by the corpus so the exact form runs as-is
-    and doubles as the oracle for the MinHash path."""
-    import ray
+      explode (sh, doc_id, nsh)  [nsh = the doc's shingle-set size, carried
+                                  in-row so the Jaccard union needs no
+                                  broadcast side at all]
+      → groupby(sh % n_shingle_parts): shingle groups are complete within a
+        partition, so the in-partition self-join emits exact per-partition
+        pair partials (a, b, inter_partial, nsh_a, nsh_b)
+      → groupby(a % n_pair_parts): sums partials per (a, b) and applies the
+        Jaccard threshold — each stage a Ray-native shuffle, vectorized
+        pandas inside.
 
+    Scale strategy: pair emission is quadratic in shingle document-frequency —
+    at 100 TB drop shingles with df > cap (stop-shingles, which can only
+    connect near-identical boilerplate) or pre-cluster with minhash_lsh_pairs
+    and verify candidates only. This exact form doubles as the MinHash oracle."""
     ds = _read_docs(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         di, hs = _shingle_hashes_batch(df["text"].tolist(), n)
+        nsh = np.bincount(di, minlength=len(df)).astype(np.int64)
         return pd.DataFrame(
             {
-                "sh": hs.astype(np.int64),  # join key
+                "sh": hs.astype(np.int64),
                 "doc_id": df["doc_id"].to_numpy()[di],
+                "nsh": nsh[di],
+                "part": (hs % np.uint64(n_shingle_parts)).astype(np.int64),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pandas")
 
-    # pair counting = self-join on the shingle key. Pairs from different
-    # shingles are independent, so at scale this runs per shingle-hash
-    # partition (add `part = sh % P`, groupby(part), join within partition);
-    # at this corpus size the exploded table is tiny → coalesce and do one
-    # vectorized hash self-join.
-    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def emit_partials(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="sh")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
-        return g.rename(columns={"doc_id_x": "a", "doc_id_y": "b", "size": "inter"})
+        if m.empty:
+            return _PAIR_EMPTY
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).agg(
+            inter=("sh", "size"), nsh_a=("nsh_x", "first"), nsh_b=("nsh_y", "first")
+        )
+        g = g.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        g["ap"] = g["a"] % n_pair_parts
+        return g[["a", "b", "nsh_a", "nsh_b", "inter", "ap"]]
 
-    inter = exploded.repartition(1).map_batches(
-        count_pairs, batch_format="pandas", batch_size=None
+    partials = exploded.groupby("part").map_groups(
+        emit_partials, batch_format="pandas"
     )
 
-    # broadcast per-doc shingle-set sizes (narrow: one int per doc)
-    def sizes(df: pd.DataFrame) -> pd.DataFrame:
-        di, _hs = _shingle_hashes_batch(df["text"].tolist(), n)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            inter=("inter", "sum"), nsh_a=("nsh_a", "first"), nsh_b=("nsh_b", "first")
+        )
+        inter = g["inter"].to_numpy().astype(np.float64)
+        union = g["nsh_a"].to_numpy() + g["nsh_b"].to_numpy() - inter
+        keep = inter / union >= threshold
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "nsh": np.bincount(di, minlength=len(df)).astype(np.int64),
+                "doc_a": g["a"].to_numpy()[keep],
+                "doc_b": g["b"].to_numpy()[keep],
             }
         )
 
-    size_parts = ds.map_batches(sizes, batch_format="pandas").take_all()
-    size_map = np.zeros(
-        max(r["doc_id"] for r in size_parts) + 1 if size_parts else 1, dtype=np.int64
-    )
-    for r in size_parts:
-        size_map[r["doc_id"]] = r["nsh"]
-    sizes_ref = ray.put(size_map)
-
-    def jaccard_filter(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(sizes_ref)
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
-        inter_n = df["inter"].to_numpy().astype(np.float64)
-        union = sm[a] + sm[b] - inter_n
-        jac = inter_n / union
-        keep = jac >= threshold
-        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
-
-    return inter.map_batches(jaccard_filter, batch_format="pandas")
+    return partials.groupby("ap").map_groups(finalize, batch_format="pandas")
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -211,131 +224,182 @@ def _minhash_sig(sh_hashes: np.ndarray) -> np.ndarray:
     return m.min(axis=1)
 
 
-def minhash_lsh_pairs(sf_dir: str, n: int = 3, threshold: float = 0.4):
-    """MinHash+LSH near-dup candidates, verified with exact Jaccard: shingle →
-    64 minhashes → 8 banded signatures → band-bucket groupby → candidate
-    pairs → exact-Jaccard verify. The scalable path (pair emission only within
-    LSH buckets); recall vs the exact ngram_jaccard_pairs is asserted in
-    tests. Rows: (doc_a, doc_b)."""
-    import ray
+def minhash_lsh_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    n_bucket_parts: int = 32,
+    n_pair_parts: int = 32,
+):
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard — fully
+    distributed (no driver-side shingle dict, no single-partition funnel):
 
+      shingle → 64 minhashes → 8 banded signatures, each band row CARRYING
+      the doc's (distinct, sorted) shingle-hash list
+      → groupby(bucket_hash % n_bucket_parts): (band, bhash) groups are
+        complete within a partition, so pair emission AND exact-Jaccard
+        verification both happen bucket-locally (the carried lists make the
+        verify need no second lookup side)
+      → groupby(a % n_pair_parts): drops duplicate pairs found via multiple
+        bands. Rows: (doc_a, doc_b); recall vs exact asserted in tests.
+
+    Scale tradeoff (documented): carrying the shingle list multiplies band-row
+    shuffle volume by N_BANDS. The alternative — a 3-way repartition-join of
+    candidates against an exploded (doc_id, shingle) table — ships the
+    shingles twice instead of 8×, at the cost of two more shuffles; the
+    bucket-local form wins while shingle sets fit comfortably in blocks
+    (they are ~token-count-sized). Hot buckets (identical boilerplate) are
+    the LSH-inherent skew: cap or sample buckets above a size bound at 100 TB."""
     ds = _read_docs(sf_dir)
 
-    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def band_rows(t: pa.Table) -> pa.Table:
         # batch-vectorized minhash: one shingle pass for the whole batch,
         # seeded-remix into a (N_MINHASH, total) matrix, per-doc minima via
         # minimum.reduceat, then fold each band with a vectorized remix chain
-        di, allh = _shingle_hashes_batch(df["text"].tolist(), n)
-        counts = np.bincount(di, minlength=len(df)).astype(np.int64)
+        texts = t["text"].to_pylist()
+        di, allh = _shingle_hashes_batch(texts, n)
+        counts = np.bincount(di, minlength=t.num_rows).astype(np.int64)
         docs_idx = np.flatnonzero(counts > 0)
-        sigs = np.full((len(df), N_MINHASH), np.uint64(0xFFFFFFFFFFFFFFFF))
-        if len(docs_idx):
-            starts = np.concatenate([[0], np.cumsum(counts)])[docs_idx]
-            m = _remix(allh[None, :] ^ _MINHASH_SEEDS[:, None])  # (64, total)
-            sigs[docs_idx] = np.minimum.reduceat(m, starts, axis=1).T
-        bands = sigs.reshape(len(df), N_BANDS, -1)
-        acc = np.full((len(df), N_BANDS), np.uint64(0xCBF29CE484222325))
+        if len(docs_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int8()),
+                    "bhash": pa.array([], type=pa.int64()),
+                    "bp": pa.array([], type=pa.int64()),
+                    "sh": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        starts_all = np.concatenate([[0], np.cumsum(counts)])
+        m = _remix(allh[None, :] ^ _MINHASH_SEEDS[:, None])  # (64, total)
+        sigs = np.minimum.reduceat(m, starts_all[docs_idx], axis=1).T
+        bands = sigs.reshape(len(docs_idx), N_BANDS, -1)
+        acc = np.full((len(docs_idx), N_BANDS), np.uint64(0xCBF29CE484222325))
         for r in range(bands.shape[2]):
             acc = _remix((acc ^ bands[:, :, r]).ravel()).reshape(acc.shape)
-        ndocs = len(df)
-        return pd.DataFrame(
+        # shingle-less docs are skipped entirely: they can never pass the
+        # Jaccard verify, and emitting them would build one giant empty-doc
+        # bucket per band
+        ndocs = len(docs_idx)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[docs_idx]
+        # per-doc shingle list (sorted ascending), repeated once per band row
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(starts_all[np.concatenate([docs_idx, [docs_idx[-1] + 1]])].astype(np.int32)),
+            pa.array(allh.view(np.int64)),
+        )
+        rep = np.repeat(np.arange(ndocs, dtype=np.int64), N_BANDS)
+        bhash = acc.ravel()
+        bp = (
+            _remix(bhash ^ np.tile(np.arange(N_BANDS, dtype=np.uint64), ndocs))
+            % np.uint64(n_bucket_parts)
+        ).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), N_BANDS).astype(np.int64),
-                "band": np.tile(np.arange(N_BANDS, dtype=np.int8), ndocs),
-                "bhash": acc.ravel().astype(np.int64),
+                "doc_id": pa.array(np.repeat(doc_ids, N_BANDS).astype(np.int64)),
+                "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int8), ndocs)),
+                "bhash": pa.array(bhash.view(np.int64)),
+                "bp": pa.array(bp),
+                "sh": sh_list.take(pa.array(rep)),
             }
         )
 
-    banded = ds.map_batches(band_rows, batch_format="pandas")
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
 
-    # candidate pairs share a (band, bucket); buckets are independent → at
-    # scale this is a groupby over (band, bhash) with in-bucket pair emission
-    # (the LSH point: pair work stays within buckets). Banded rows are
-    # 8/doc → tiny here: coalesce + vectorized self-join.
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on=["band", "bhash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return (
-            m[["doc_id_x", "doc_id_y"]]
-            .drop_duplicates()  # dedup candidates across bands
-            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
-        )
-
-    cand = banded.repartition(1).map_batches(
-        bucket_pairs, batch_format="pandas", batch_size=None
-    )
-
-    # verify candidates with exact Jaccard via broadcast shingle sets
-    # (documents is the small side here; at 100 TB verification becomes a
-    # repartition-join of (doc_id → shingle hashes) against the candidates)
-    def shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
-        di, hs = _shingle_hashes_batch(df["text"].tolist(), n)
-        counts = np.bincount(di, minlength=len(df))
-        bounds = np.cumsum(counts)[:-1]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                # already sorted by (doc, hash) → per-doc slices are sorted
-                "sh": np.split(hs, bounds),
-            }
-        )
-
-    parts = _read_docs(sf_dir).map_batches(shingle_sets, batch_format="pandas").take_all()
-    sets = {int(r["doc_id"]): np.asarray(r["sh"], dtype=np.uint64) for r in parts}
-    sets_ref = ray.put(sets)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ss = ray.get(sets_ref)
-        keep_a, keep_b = [], []
-        for a, b in zip(df["a"], df["b"]):
-            sa, sb = ss[int(a)], ss[int(b)]
-            if len(sa) == 0 or len(sb) == 0:
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        # df = all band rows of one bucket partition: (band, bhash) groups are
+        # complete here, so candidates AND their exact-Jaccard verdicts are
+        # computed bucket-locally from the carried shingle lists
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, g in df.groupby(["band", "bhash"], sort=False):
+            if len(g) < 2:
                 continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
+            ids = g["doc_id"].to_numpy()
+            sets = [np.asarray(s, dtype=np.int64) for s in g["sh"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = ids[i], ids[j]
+                    sa, sb = sets[i], sets[j]
+                    if a > b:
+                        a, b = b, a
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    jac = inter / (len(sa) + len(sb) - inter)
+                    if jac >= threshold:
+                        out_a.append(int(a))
+                        out_b.append(int(b))
+        a_arr = np.array(out_a, dtype=np.int64)
         return pd.DataFrame(
-            {"doc_a": np.array(keep_a, dtype=np.int64), "doc_b": np.array(keep_b, dtype=np.int64)}
+            {
+                "a": a_arr,
+                "b": np.array(out_b, dtype=np.int64),
+                "ap": a_arr % n_pair_parts,
+            }
         )
 
-    return cand.map_batches(verify, batch_format="pandas")
+    verified = banded.groupby("bp").map_groups(bucket_verify, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["a", "b"])
+        return pd.DataFrame(
+            {
+                "doc_a": g["a"].to_numpy(dtype=np.int64),
+                "doc_b": g["b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return verified.groupby("ap").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ----------------------------------------------------------------- SimHash
 def simhash(sf_dir: str):
     """(doc_id, simhash): 64-bit SimHash over token hashes — per-bit majority
-    vote of ±1 contributions, fully vectorized per doc. Near-dups have small
-    Hamming distance (property-tested)."""
+    vote of ±1 contributions, vectorized across the WHOLE batch: one token
+    flatten + one hash pass + one ``np.add.reduceat`` over the per-doc
+    boundaries of the flattened ±1 bit matrix (no per-doc Python loop).
+    Near-dups have small Hamming distance (property-tested)."""
+    import itertools
+
     ds = _read_docs(sf_dir)
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+    _POWS = np.uint64(1) << _SHIFTS
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [_TOKEN_RE.findall(t.lower()) for t in df["text"]]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
         out = np.zeros(len(df), dtype=np.uint64)
-        for i, text in enumerate(df["text"]):
-            toks = _TOKEN_RE.findall(text.lower())
-            if not toks:
-                continue
-            h = fnv1a64(pa.array(toks, type=pa.string()))
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
+        nz = np.flatnonzero(counts > 0)
+        if len(nz):
+            flat = pa.array(
+                list(itertools.chain.from_iterable(toks)), type=pa.string()
             )
-            votes = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for b in np.flatnonzero(votes > 0):
-                sh |= np.uint64(1) << np.uint64(b)
-            out[i] = sh
+            h = fnv1a64(flat)
+            signs = (
+                2 * ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+                - 1
+            )  # (total_tokens, 64) in ±1
+            starts = np.concatenate([[0], np.cumsum(counts)])[nz]
+            votes = np.add.reduceat(signs, starts, axis=0)  # (n_nonzero, 64)
+            out[nz] = ((votes > 0).astype(np.uint64) * _POWS).sum(axis=1)
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out.astype(np.int64)})
 
     return ds.map_batches(f, batch_format="pandas")
 
 
-def embed_lsh_pairs(sf_dir: str, threshold: float = 0.35, n_planes: int = 3, n_tables: int = 8):
+def embed_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    n_bucket_parts: int = 32,
+    n_pair_parts: int = 32,
+):
     """Embedding near-dup via random-hyperplane LSH — the 10^9-vector scale
-    path for embed_cosine_pairs: vectors sharing a signature bucket in ANY of
-    ``n_tables`` hash tables become candidates, verified exactly. Bucket
-    assignment is a vectorized map_batches against broadcast hyperplanes;
-    pair emission stays within buckets.
+    path for embed_cosine_pairs, fully distributed: vectors sharing a
+    signature bucket in ANY of ``n_tables`` hash tables become candidates.
+    Bucket rows CARRY the normalized vector, so the exact-cosine verify runs
+    bucket-locally (vectorized m×m matmul per bucket); a second groupby drops
+    pairs found in several tables. The driver touches only the parquet schema
+    (embedding dimension) — never the vectors.
 
     Parameter math: per-plane collision prob p = 1 - arccos(τ)/π; recall ≈
     1-(1-p^b)^T. The defaults (b=3, T=8) give ~0.88 recall at τ=0.35 — note
@@ -349,15 +413,17 @@ def embed_lsh_pairs(sf_dir: str, threshold: float = 0.35, n_planes: int = 3, n_t
 
     from .ann import list_col_to_matrix
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    M = list_col_to_matrix(tbl["embedding"])
-    d = M.shape[1]
+    # embedding dimension from the first batch only (no full driver read)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    d = len(first["embedding"][0])
     # deterministic hyperplanes from the splitmix stream
     raw = _remix(
         (np.arange(n_tables * n_planes * d, dtype=np.uint64) + _U64_ONE)
         * np.uint64(0x9E3779B97F4A7C15)
     )
-    planes = (raw.astype(np.float64) / 2**64 - 0.5).reshape(n_tables, n_planes, d)
+    # 2.0**64: float64_array / (python int 2**64) yields an object array
+    planes = (raw.astype(np.float64) / 2.0**64 - 0.5).reshape(n_tables, n_planes, d)
     planes_ref = ray.put(planes)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -367,88 +433,158 @@ def embed_lsh_pairs(sf_dir: str, threshold: float = 0.35, n_planes: int = 3, n_t
         X = list_col_to_matrix(t["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        rows_id, rows_tbl, rows_sig = [], [], []
+        n_rows = len(ids)
+        vec = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_rows + 1, dtype=np.int32) * d), pa.array(Xn.ravel())
+        )
+        rows_id, rows_tbl, rows_sig, take_idx = [], [], [], []
         for ti in range(P.shape[0]):
             bits = (Xn @ P[ti].T) > 0  # (n, n_planes)
             sig = (bits @ (1 << np.arange(P.shape[1]))).astype(np.int64)
             rows_id.append(ids)
-            rows_tbl.append(np.full(len(ids), ti, dtype=np.int8))
+            rows_tbl.append(np.full(n_rows, ti, dtype=np.int8))
             rows_sig.append(sig)
+            take_idx.append(np.arange(n_rows, dtype=np.int64))
+        tbl_col = np.concatenate(rows_tbl)
+        sig_col = np.concatenate(rows_sig)
+        bp = (
+            _remix(sig_col.astype(np.uint64) ^ (tbl_col.astype(np.uint64) << np.uint64(48)))
+            % np.uint64(n_bucket_parts)
+        ).astype(np.int64)
         return pa.table(
             {
                 "vec_id": pa.array(np.concatenate(rows_id)),
-                "tbl": pa.array(np.concatenate(rows_tbl)),
-                "sig": pa.array(np.concatenate(rows_sig)),
+                "tbl": pa.array(tbl_col),
+                "sig": pa.array(sig_col),
+                "bp": pa.array(bp),
+                "vec": vec.take(pa.array(np.concatenate(take_idx))),
             }
         )
 
     bucketed = ds.map_batches(buckets, batch_format="pyarrow", batch_size=8192)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on=["tbl", "sig"])
-        m = m[m["vec_id_x"] < m["vec_id_y"]]
-        return (
-            m[["vec_id_x", "vec_id_y"]]
-            .drop_duplicates()
-            .rename(columns={"vec_id_x": "a", "vec_id_y": "b"})
-        )
-
-    cand = bucketed.repartition(1).map_batches(
-        bucket_pairs, batch_format="pandas", batch_size=None
-    )
-
-    ids_all = tbl["vec_id"].to_numpy()
-    order = np.argsort(ids_all)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    lookup_ref = ray.put((ids_all[order], Mn[order]))
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ids_sorted, Mn_sorted = ray.get(lookup_ref)
-        a = np.searchsorted(ids_sorted, df["a"].to_numpy())
-        b = np.searchsorted(ids_sorted, df["b"].to_numpy())
-        cos = np.einsum("ij,ij->i", Mn_sorted[a], Mn_sorted[b])
-        keep = cos >= threshold
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        # (tbl, sig) groups are complete within a bucket partition: emit +
+        # exact-cosine-verify pairs with one m×m matmul per bucket
+        out_a, out_b = [], []
+        for _, g in df.groupby(["tbl", "sig"], sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+            S = M @ M.T
+            iu, ju = np.triu_indices(m, k=1)
+            keep = S[iu, ju] >= threshold
+            ia, jb = ids[iu[keep]], ids[ju[keep]]
+            out_a.append(np.minimum(ia, jb))
+            out_b.append(np.maximum(ia, jb))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         return pd.DataFrame(
-            {"vec_a": df["a"].to_numpy()[keep], "vec_b": df["b"].to_numpy()[keep]}
+            {"a": a.astype(np.int64), "b": b.astype(np.int64), "ap": a.astype(np.int64) % n_pair_parts}
         )
 
-    return cand.map_batches(verify, batch_format="pandas")
+    verified = bucketed.groupby("bp").map_groups(bucket_verify, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["a", "b"])
+        return pd.DataFrame(
+            {
+                "vec_a": g["a"].to_numpy(dtype=np.int64),
+                "vec_b": g["b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return verified.groupby("ap").map_groups(dedup_pairs, batch_format="pandas")
 
 
 _U64_ONE = np.uint64(1)
 
 
 # ----------------------------------------------- near-dup cluster resolution
+def connected_components(edges, nodes, num_partitions: int = 8):
+    """Distributed connected components by iterated min-label propagation
+    (the Pregel/GraphX shape): each round every node's label becomes the min
+    of its own label and its neighbors' labels, computed as
+
+        msgs   = edges ⋈ labels on src          (hash join, partitioned)
+        labels = (labels ∪ msgs[dst, label]).groupby(node).min(label)
+
+    until the global label sum stops decreasing (labels are monotone
+    non-increasing, so an unchanged sum IS the fixpoint). Rounds ≤ graph
+    diameter; every step is a partitioned Ray-native shuffle — no driver-side
+    edge loop, no full-table materialization.
+
+    ``edges``: Dataset (src, dst) — pass each undirected edge in both
+    directions. ``nodes``: Dataset (node). Returns Dataset (node, label) with
+    label = min node id of the component."""
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["node"]})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return labels
+    prev_sum = labels.sum("label")
+    while True:
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
+        merged = (
+            labels.union(msgs)
+            .groupby("node")
+            .min("label")
+            .rename_columns({"min(label)": "label"})
+            .materialize()
+        )
+        new_sum = merged.sum("label")
+        labels = merged
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+
+
 def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.4):
     """Connected components over the verified near-dup pair graph → one
     surviving doc per cluster: (doc_id, cluster_id=min doc_id of component,
-    keep=True for the minimum member). The canonical last step of near-dedup.
+    keep=True for the minimum member). The canonical last step of near-dedup,
+    running the distributed min-label propagation in connected_components
+    (golden-graph-tested); the doc table is never pulled to the driver."""
 
-    Components are computed by iterated min-label propagation over the edge
-    list (each round: label[x] = min(label of x, labels of neighbors); rounds
-    ≤ graph diameter). Here the candidate pair set is provably small (output
-    of minhash_lsh_pairs), so propagation runs vectorized on the driver; at
-    scale each round is a groupby(node).min() over the (node, label) edge
-    expansion — same math, shuffle-parallel."""
-    import pandas as pd
+    pairs = minhash_lsh_pairs(sf_dir, n=n, threshold=threshold)
+    nodes = _read_docs(sf_dir, columns=("doc_id",)).map_batches(
+        lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
+    )
 
-    pairs = minhash_lsh_pairs(sf_dir, n=n, threshold=threshold).to_pandas()
-    docs = _read_docs(sf_dir, columns=("doc_id",)).to_pandas()
-    label = {int(d): int(d) for d in docs["doc_id"]}
-    edges = list(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
-    changed = True
-    while changed:
-        changed = False
-        for a, b in edges:
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    out = pd.DataFrame(
-        {"doc_id": list(label), "cluster_id": [label[d] for d in label]}
-    ).sort_values("doc_id")
-    out["keep"] = out["doc_id"] == out["cluster_id"]
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    def expand(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
+        b = t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(expand, batch_format="pyarrow")
+    labels = connected_components(edges, nodes)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"],
+                "cluster_id": t["label"],
+                "keep": pc.equal(t["node"], t["label"]),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
 # -------------------------------------------------- embedding-cosine near-dup

@@ -164,30 +164,41 @@ class TextEmbedder:
             (np.arange(vocab_hash_dim * dim, dtype=np.uint64) + np.uint64(1))
             * np.uint64(fnv1a64_scalar(f"embed|{seed}") | 1)
         )
-        self.proj = (raw.astype(np.float64) / 2**64 - 0.5).reshape(vocab_hash_dim, dim)
+        # NB: divide by a float — float64_array / (python int 2**64) silently
+        # produces an OBJECT array on this numpy
+        self.proj = (raw.astype(np.float64) / 2.0**64 - 0.5).reshape(vocab_hash_dim, dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import itertools
         import re
 
         from ..functions.hashing import fnv1a64
 
-        vecs = np.zeros((batch.num_rows, self.dim))
+        n_rows = batch.num_rows
         token_re = re.compile(r"[a-z0-9]+")
-        for i, text in enumerate(batch["text"].to_pylist()):
-            toks = token_re.findall(text.lower())
-            if not toks:
-                continue
-            h = fnv1a64(toks) % np.uint64(self.vh)
-            counts = np.bincount(h.astype(np.int64), minlength=self.vh).astype(np.float64)
-            v = counts @ self.proj
-            n = np.linalg.norm(v)
-            vecs[i] = v / n if n > 0 else v
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "embedding": pa.array(list(vecs.astype(np.float32))),
-            }
+        toks = [token_re.findall(t.lower()) for t in batch["text"].to_pylist()]
+        per_doc = np.array([len(x) for x in toks], dtype=np.int64)
+        vecs = np.zeros((n_rows, self.dim))
+        if per_doc.sum():
+            # one flatten + one hash pass + one flat bincount scatter + ONE
+            # matmul for the whole batch (no per-doc loop)
+            flat = list(itertools.chain.from_iterable(toks))
+            h = (fnv1a64(flat) % np.uint64(self.vh)).astype(np.int64)
+            di = np.repeat(np.arange(n_rows, dtype=np.int64), per_doc)
+            C = (
+                np.bincount(di * self.vh + h, minlength=n_rows * self.vh)
+                .reshape(n_rows, self.vh)
+                .astype(np.float64)
+            )
+            V = C @ self.proj
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            vecs = V / np.where(norms > 0, norms, 1.0)
+        flat_vals = vecs.astype(np.float32).ravel()
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(n_rows + 1, dtype=np.int32) * self.dim),
+            pa.array(flat_vals),
         )
+        return pa.table({"doc_id": batch["doc_id"], "embedding": emb})
 
 
 def text_embeddings(sf_dir: str):

@@ -142,15 +142,19 @@ def rolling_hash_fingerprint(sf_dir: str):
     """(doc_id, winnow_fp): winnowing-style fingerprint — min FNV-1a-64 hash
     over the doc's 4-token shingles (a 1-element MinHash; rows-only check,
     not SQL-expressible). Vectorized via the shared shingle helper."""
-    from .dedup import _shingle_hashes
+    from .dedup import _shingle_hashes_batch
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for s in df["text"]:
-            h = _shingle_hashes(s, n=4)
-            fps.append(int(h.min()) if len(h) else 0)
+        # one batch-wide shingle pass, then per-doc minima via minimum.reduceat
+        di, hs = _shingle_hashes_batch(df["text"].tolist(), n=4)
+        counts = np.bincount(di, minlength=len(df)).astype(np.int64)
+        fps = np.zeros(len(df), dtype=np.uint64)
+        nz = np.flatnonzero(counts > 0)
+        if len(nz):
+            starts = np.concatenate([[0], np.cumsum(counts)])[nz]
+            fps[nz] = np.minimum.reduceat(hs, starts)
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "winnow_fp": np.array(fps, dtype=np.uint64).astype(np.int64)}
+            {"doc_id": df["doc_id"], "winnow_fp": fps.astype(np.int64)}
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
