@@ -77,7 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_prefix": dedup.dedup_exact_prefix,       # D1
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # rows-only
-        "dedup_clusters": dedup.dedup_clusters,                # rows-only
+        "dedup_clusters": dedup.dedup_clusters,                # rows-only (LSH graph)
+        "dedup_clusters_exact": dedup.dedup_clusters_exact,    # recursive-CTE oracle
         "simhash": dedup.simhash,                              # rows-only
         "embed_cosine_pairs": dedup.embed_cosine_pairs,
         "embed_lsh_pairs": dedup.embed_lsh_pairs,              # rows-only
@@ -85,11 +86,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only
         # --- multimodal (stubbed decode, real plumbing) ---
-        "media_features": multimodal.media_features,           # rows-only
-        "media_resize_plan": multimodal.media_resize_plan,     # rows-only
-        "media_chunks": multimodal.media_chunks,               # rows-only
+        "media_features": multimodal.media_features,           # SQL oracle (byte stats)
+        "media_resize_plan": multimodal.media_resize_plan,     # SQL oracle
+        "media_chunks": multimodal.media_chunks,               # SQL oracle
         "text_embeddings": multimodal.text_embeddings,         # rows-only
-        # --- crawl pipeline artifacts (rows-only; exact parity in pytest) ---
+        # --- crawl pipeline artifacts (exact parity in pytest; doc_stats and
+        #     span_explode additionally oracle-checked via DuckDB unnest) ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,
         "crawl_span_explode": crawl_queries.crawl_span_explode,
@@ -99,9 +101,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _fnv_sql(var: str) -> str:
+    """FNV-1a-64 of an (ASCII) string column in pure DuckDB SQL — HUGEINT
+    arithmetic with an explicit low-byte xor (exactly matches
+    crawl4ai_llm_ray.functions.hashing.fnv1a64_scalar; verified per-value).
+    Lets hash-derived synthetic columns (media width/height/kind, winnowing
+    fingerprints) be oracle-checked instead of rows-only."""
+    return f"""
+list_reduce(
+  list_prepend(14695981039346656037::HUGEINT,
+    list_transform(range(1, length({var})+1), i -> ord(substr({var}, i, 1))::HUGEINT)),
+  (acc, b) -> ((acc - acc % 256 + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from crawl4ai_llm_ray.pipelines.crawl_queries import CRAWL_OUT
+
     stop_list = "('the','a','of','to','and')"
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    fnv_text = _fnv_sql("text")
+    crawl_docs = f"read_parquet('{CRAWL_OUT}/docs/*/*.parquet')"
+    ngram_pairs_cte = f"""
+            toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
+            tri AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                FROM toksrc WHERE len(t) >= 3
+            ),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS n FROM tri),
+            jpairs AS (
+                SELECT p.a AS doc_a, p.b AS doc_b
+                FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.a
+                JOIN sizes sb ON sb.doc_id = p.b
+                WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= 0.4
+            )"""
     return {
         "filter_project": """
             SELECT l_orderkey, l_quantity, l_extendedprice
@@ -303,25 +346,91 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY array_to_string(list_slice({toks}, 1, 5), ' ')
         """,
         "ngram_jaccard_pairs": f"""
-            WITH toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
-            tri AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(range(1, len(t) - 1),
-                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-                FROM toksrc WHERE len(t) >= 3
+            WITH {ngram_pairs_cte}
+            SELECT doc_a, doc_b FROM jpairs
+        """,
+        "dedup_clusters_exact": f"""
+            WITH RECURSIVE {ngram_pairs_cte},
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+                      UNION ALL SELECT doc_b, doc_a FROM jpairs),
+            reach(a, b) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
             ),
-            ex AS (SELECT doc_id, unnest(sh) AS s FROM tri),
-            pairs AS (
-                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            sizes AS (SELECT doc_id, len(sh) AS n FROM tri)
-            SELECT p.a AS doc_a, p.b AS doc_b
-            FROM pairs p
-            JOIN sizes sa ON sa.doc_id = p.a
-            JOIN sizes sb ON sb.doc_id = p.b
-            WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= 0.4
+            lab AS (SELECT a AS node, least(a, min(b)) AS label
+                    FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   COALESCE(l.label, d.doc_id) AS cluster_id,
+                   (COALESCE(l.label, d.doc_id) = d.doc_id) AS keep
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+        """,
+        "media_resize_plan": f"""
+            WITH m AS (SELECT doc_id, ({fnv_text} % 640 + 64)::DOUBLE AS w,
+                              (({fnv_text} // 4294967296) % 480 + 64)::DOUBLE AS h
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INTEGER) AS out_w,
+                   CAST(FLOOR(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INTEGER) AS out_h
+            FROM m
+        """,
+        "media_chunks": """
+            WITH m AS (SELECT doc_id, length(text)::BIGINT AS len FROM documents),
+            c AS (SELECT doc_id, len,
+                         unnest(range(0, greatest(1, (len + 63) // 64))) AS j
+                  FROM m)
+            SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx, (j*64)::BIGINT AS begin,
+                   (least(len, j*64 + 64) - j*64)::BIGINT AS n_bytes
+            FROM c
+        """,
+        "media_features": f"""
+            WITH b AS (SELECT doc_id, {fnv_text} AS f, length(text)::BIGINT AS n,
+                              CASE WHEN length(text) = 0 THEN [0.0]
+                                   ELSE list_transform(range(1, length(text)+1),
+                                                       i -> ord(substr(text,i,1))::DOUBLE)
+                              END AS bs
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN f % 4 = 0 THEN 'audio' ELSE 'image' END AS media_kind,
+                   n AS n_bytes,
+                   round(list_aggregate(bs, 'avg'), 4) AS byte_mean,
+                   round(sqrt(list_aggregate(list_transform(bs,
+                         x -> (x - list_aggregate(bs, 'avg')) * (x - list_aggregate(bs, 'avg'))),
+                         'avg')), 4) AS byte_std
+            FROM b
+        """,
+        "rolling_fingerprint": f"""
+            WITH T AS (SELECT doc_id, {toks} AS t FROM documents),
+            tri AS (SELECT doc_id, list_transform(range(1, len(t)-2),
+                        i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]) AS sh
+                    FROM T WHERE len(t) >= 4),
+            f AS (SELECT doc_id,
+                         list_aggregate(list_transform(sh, s -> {_fnv_sql("s")}), 'min') AS fp
+                  FROM tri)
+            SELECT d.doc_id,
+                   COALESCE(CASE WHEN f.fp >= 9223372036854775808::HUGEINT
+                                 THEN (f.fp - 18446744073709551616::HUGEINT)::BIGINT
+                                 ELSE f.fp::BIGINT END, 0)::BIGINT AS winnow_fp
+            FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        """,
+        "crawl_doc_stats": f"""
+            WITH d AS (SELECT doc_id, url_canon, wave, spans FROM {crawl_docs}),
+            e AS (SELECT doc_id, unnest(spans) AS s FROM d),
+            c AS (SELECT doc_id,
+                    count(*) FILTER (s.kind = 'text') AS n_text,
+                    count(*) FILTER (s.kind = 'image') AS n_image,
+                    count(*) FILTER (s.kind = 'link') AS n_link,
+                    count(*) AS n_spans
+                  FROM e GROUP BY doc_id)
+            SELECT d.doc_id, d.url_canon, d.wave,
+                   COALESCE(n_text, 0) AS n_text, COALESCE(n_image, 0) AS n_image,
+                   COALESCE(n_link, 0) AS n_link, COALESCE(n_spans, 0) AS n_spans
+            FROM d LEFT JOIN c USING (doc_id)
+        """,
+        "crawl_span_explode": f"""
+            SELECT doc_id, s.kind AS kind, s.text AS text,
+                   s.media_ref AS media_ref, s."offset" AS "offset"
+            FROM (SELECT doc_id, unnest(spans) AS s FROM {crawl_docs})
         """,
         "embed_cosine_pairs": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

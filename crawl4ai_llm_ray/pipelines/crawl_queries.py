@@ -21,24 +21,33 @@ from .crawl import read_docs, run_crawl
 
 _ENTRY_CFG = SynthWebConfig(seed=42, n_hosts=16, base_pages=24, n_seeds=8)
 _N_PARTITIONS = 4
+# FIXED output path: the crawl is fully deterministic (pure function of
+# _ENTRY_CFG), so a stable location lets the DuckDB oracle SQL for the
+# crawl-derived queries read the same docs parquet the engine produced
+CRAWL_OUT = "/tmp/crawl4ai_llm_ray_entry/crawl"
 _cached_out: str | None = None
 
 
 def ensure_crawl() -> str:
-    """Run the flagship crawl once per process; reuse its output dir."""
+    """Run the flagship crawl once per process; reuse its (fixed,
+    deterministic) output dir."""
     global _cached_out
     if _cached_out is None or not os.path.exists(
         os.path.join(_cached_out, "metrics.parquet")
     ):
-        out = tempfile.mkdtemp(prefix="crawl4ai_llm_ray_entry_")
-        run_crawl(
-            _ENTRY_CFG,
-            out,
-            n_partitions=_N_PARTITIONS,
-            fetch_concurrency=4,
-            expected_urls_per_shard=4096,
-        )
-        _cached_out = out
+        if not os.path.exists(os.path.join(CRAWL_OUT, "metrics.parquet")):
+            import shutil
+
+            shutil.rmtree(CRAWL_OUT, ignore_errors=True)
+            os.makedirs(CRAWL_OUT, exist_ok=True)
+            run_crawl(
+                _ENTRY_CFG,
+                CRAWL_OUT,
+                n_partitions=_N_PARTITIONS,
+                fetch_concurrency=4,
+                expected_urls_per_shard=4096,
+            )
+        _cached_out = CRAWL_OUT
     return _cached_out
 
 

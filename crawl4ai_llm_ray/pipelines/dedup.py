@@ -550,14 +550,9 @@ def connected_components(edges, nodes, num_partitions: int = 8):
         prev_sum = new_sum
 
 
-def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.4):
-    """Connected components over the verified near-dup pair graph → one
-    surviving doc per cluster: (doc_id, cluster_id=min doc_id of component,
-    keep=True for the minimum member). The canonical last step of near-dedup,
-    running the distributed min-label propagation in connected_components
-    (golden-graph-tested); the doc table is never pulled to the driver."""
-
-    pairs = minhash_lsh_pairs(sf_dir, n=n, threshold=threshold)
+def _clusters_from_pairs(pairs, sf_dir: str):
+    """(doc_a, doc_b) pair Dataset → (doc_id, cluster_id, keep) via the
+    distributed connected_components (shared by the MinHash and exact paths)."""
     nodes = _read_docs(sf_dir, columns=("doc_id",)).map_batches(
         lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
     )
@@ -585,6 +580,22 @@ def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.4):
         )
 
     return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_clusters(sf_dir: str, n: int = 3, threshold: float = 0.4):
+    """Connected components over the verified near-dup pair graph → one
+    surviving doc per cluster: (doc_id, cluster_id=min doc_id of component,
+    keep=True for the minimum member). The canonical last step of near-dedup,
+    running the distributed min-label propagation in connected_components
+    (golden-graph-tested); the doc table is never pulled to the driver."""
+    return _clusters_from_pairs(minhash_lsh_pairs(sf_dir, n=n, threshold=threshold), sf_dir)
+
+
+def dedup_clusters_exact(sf_dir: str, n: int = 3, threshold: float = 0.4):
+    """dedup_clusters over the EXACT ngram_jaccard_pairs graph — identical
+    cluster machinery, but SQL-oracle-checkable end to end (the DuckDB twin
+    computes the components with a recursive transitive-closure CTE)."""
+    return _clusters_from_pairs(ngram_jaccard_pairs(sf_dir, n=n, threshold=threshold), sf_dir)
 
 
 # -------------------------------------------------- embedding-cosine near-dup

@@ -83,6 +83,13 @@ class PayloadDecoder:
             b = np.zeros(1, dtype=np.uint8)
         return b
 
+    @staticmethod
+    def _round_half_away(x: float, nd: int = 4) -> float:
+        # SQL-compatible rounding (DuckDB rounds half away from zero; Python/
+        # numpy round half to even — 93.90625 would diverge at 4 decimals)
+        scale = 10.0 ** nd
+        return float(np.floor(abs(x) * scale + 0.5) / scale * np.sign(x) if x else 0.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats_mean = np.empty(batch.num_rows)
         feats_std = np.empty(batch.num_rows)
@@ -90,8 +97,8 @@ class PayloadDecoder:
         payloads = batch["payload"].to_pylist()
         for i, p in enumerate(payloads):
             b = self._decode_fake(p)
-            feats_mean[i] = round(float(b.mean()), 4)
-            feats_std[i] = round(float(b.std()), 4)
+            feats_mean[i] = self._round_half_away(float(b.mean()))
+            feats_std[i] = self._round_half_away(float(b.std()))
             n_bytes[i] = len(p)
         return pa.table(
             {
