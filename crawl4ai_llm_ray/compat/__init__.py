@@ -2,6 +2,7 @@
 
 from .storage import (
     ArrowProductStore,
+    AsyncArrowProductStore,
     DuplicateProductError,
     ProductNotFoundError,
     StorageConnectionError,
@@ -11,6 +12,7 @@ from .storage import (
 
 __all__ = [
     "ArrowProductStore",
+    "AsyncArrowProductStore",
     "StorageError",
     "ProductNotFoundError",
     "DuplicateProductError",

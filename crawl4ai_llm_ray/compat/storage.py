@@ -365,7 +365,76 @@ class ArrowProductStore:
         )
 
 
-_REGISTRY = {"arrow": ArrowProductStore, "json": ArrowProductStore}
+class AsyncArrowProductStore:
+    """Async facade over ArrowProductStore matching the reference's async
+    surface (every storage method is ``async`` there —
+    ``/root/reference/crawl4ai_llm/storage/base.py:33-171``), so reference
+    call sites like ``await storage.save_product(...)``
+    (``/root/reference/tests/test_json_storage.py:104``) run unmodified.
+
+    The sync implementation is CPU-bound dict/Arrow work with write-through
+    parquet flushes; each call is delegated via ``asyncio.to_thread`` so an
+    event loop running real fetches is never blocked by a flush."""
+
+    def __init__(self, directory: str, flush_every: int = 1):
+        self._store = ArrowProductStore(directory, flush_every=flush_every)
+
+    # the sync store, for engine interop (to_dataset etc.)
+    @property
+    def sync(self) -> ArrowProductStore:
+        return self._store
+
+    async def _run(self, fn, *args, **kwargs):
+        import asyncio
+
+        return await asyncio.to_thread(fn, *args, **kwargs)
+
+    async def save_product(self, product_data: dict) -> str:
+        return await self._run(self._store.save_product, product_data)
+
+    async def save_products(self, products_data: list[dict]) -> list[str]:
+        return await self._run(self._store.save_products, products_data)
+
+    async def get_product(self, product_id: str) -> dict:
+        return await self._run(self._store.get_product, product_id)
+
+    async def get_products(self, product_ids: list[str]) -> list[dict]:
+        return await self._run(self._store.get_products, product_ids)
+
+    async def update_product(self, product_data: dict) -> str:
+        return await self._run(self._store.update_product, product_data)
+
+    async def update_products(self, products_data: list[dict]) -> list[str]:
+        return await self._run(self._store.update_products, products_data)
+
+    async def delete_product(self, product_id: str) -> bool:
+        return await self._run(self._store.delete_product, product_id)
+
+    async def delete_products(self, product_ids: list[str]) -> int:
+        return await self._run(self._store.delete_products, product_ids)
+
+    async def list_products(
+        self,
+        filters: dict | None = None,
+        page: int = 1,
+        page_size: int = 100,
+        sort_by: str | None = None,
+        sort_order: str = "asc",
+    ) -> dict:
+        return await self._run(
+            self._store.list_products,
+            filters=filters,
+            page=page,
+            page_size=page_size,
+            sort_by=sort_by,
+            sort_order=sort_order,
+        )
+
+    async def flush(self) -> None:
+        return await self._run(self._store.flush)
+
+
+_REGISTRY = {"arrow": ArrowProductStore, "json": ArrowProductStore, "async": AsyncArrowProductStore}
 _instances: dict[tuple, ArrowProductStore] = {}
 
 

@@ -39,11 +39,31 @@ class CrawlerSettings:
 
 
 @dataclass
+class ModelSettings:
+    """Reference LLMConfig analog (config.py:64-88): the extraction-stage
+    model configuration. Consumed by the extraction actors — threaded into
+    ``TextEmbedder`` (model name selects the deterministic stub's seed /
+    dimensions) and ``PayloadDecoder`` (cache_dir, options) via
+    ``Pipeline.add_extraction_stage``; a real encoder would read provider /
+    api_key / temperature the same way."""
+
+    provider: str = "local"
+    model: str = "stub-embedder"
+    api_key: str | None = None
+    temperature: float = 0.0
+    max_tokens: int = 4000
+    top_p: float = 1.0
+    cache_dir: str = "/tmp/crawl4ai_llm_ray_cache"
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
 class EngineConfig:
     """Reference AppConfig analog (config.py:91-108)."""
 
     storage: StorageSettings = field(default_factory=StorageSettings)
     crawler: CrawlerSettings = field(default_factory=CrawlerSettings)
+    llm: ModelSettings = field(default_factory=ModelSettings)
     settings: dict = field(default_factory=dict)
 
 
@@ -107,6 +127,31 @@ class Pipeline:
                 kwargs["fn_kwargs"] = fn_kwargs
         self.ds = self.ds.map_batches(stage, **kwargs)
         return self
+
+    def add_extraction_stage(
+        self,
+        stage_cls=None,
+        *,
+        batch_size: int | None = 1024,
+        concurrency=2,
+        num_cpus: float | None = 1,
+    ) -> "Pipeline":
+        """Add a model-extraction actor stage configured from
+        ``config.llm`` (the reference LLMConfig surface): the model name /
+        cache_dir / options are threaded into the actor's ``__init__``
+        (once per actor), exactly where a real provider client would be
+        constructed. Defaults to the TextEmbedder stub."""
+        if stage_cls is None:
+            from .pipelines.multimodal import TextEmbedder
+
+            stage_cls = TextEmbedder
+        return self.add_stage(
+            stage_cls,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+            model_settings=self.config.llm,
+        )
 
     def dataset(self):
         return self.ds

@@ -61,8 +61,11 @@ class PayloadDecoder:
     "features") runs instead, keeping output shape and determinism real.
     """
 
-    def __init__(self, target_size: int = 64):
+    def __init__(self, target_size: int = 64, model_settings=None):
         self.target_size = target_size
+        # engine.ModelSettings (reference LLMConfig analog): cache_dir is
+        # where a real decoder would memoize decoded frames/features
+        self.cache_dir = model_settings.cache_dir if model_settings is not None else None
         try:  # real decoder path — not available in this container
             import PIL.Image  # noqa: F401
 
@@ -161,10 +164,24 @@ class TextEmbedder:
     in __init__; __call__ embeds a batch with one matmul. Swap _embed for a
     real encoder and nothing else changes."""
 
-    def __init__(self, dim: int = 32, vocab_hash_dim: int = 256, seed: int = 42):
+    def __init__(
+        self,
+        dim: int = 32,
+        vocab_hash_dim: int = 256,
+        seed: int = 42,
+        model_settings=None,
+    ):
         from ..functions.hashing import fnv1a64_scalar
         from ..state.bloom import _remix
 
+        if model_settings is not None:
+            # engine.ModelSettings (reference LLMConfig analog): the model
+            # name seeds the deterministic stub — a real encoder would build
+            # its provider client from the same fields here (once per actor)
+            seed = fnv1a64_scalar(f"model|{model_settings.model}") % (1 << 31)
+            dim = int(model_settings.options.get("dim", dim))
+            vocab_hash_dim = int(model_settings.options.get("vocab_hash_dim", vocab_hash_dim))
+        self.model_settings = model_settings
         self.dim = dim
         self.vh = vocab_hash_dim
         raw = _remix(

@@ -98,3 +98,45 @@ def test_dedup_clusters_consistent_with_pairs():
     keep = clusters[clusters["keep"]]
     assert keep["cluster_id"].is_unique
     assert set(keep["cluster_id"]) == set(clusters["cluster_id"].unique())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_llm_config_threads_to_extraction_stage():
+    """EngineConfig.llm (reference LLMConfig analog, config.py:64-88) reaches
+    the TextEmbedder actor: a different model name must produce different
+    embeddings (different stub seed), same name identical ones."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.engine import EngineConfig, ModelSettings, Pipeline
+
+    rows = [{"doc_id": i, "text": f"alpha beta gamma delta {i}"} for i in range(8)]
+
+    def run(model_name):
+        cfg = EngineConfig(llm=ModelSettings(model=model_name, options={"dim": 16}))
+        p = Pipeline(rd.from_items(rows), config=cfg).add_extraction_stage(
+            batch_size=8, concurrency=1
+        )
+        out = {r["doc_id"]: np.asarray(r["embedding"]) for r in p.dataset().take_all()}
+        return out
+
+    a1 = run("model-a")
+    a2 = run("model-a")
+    b = run("model-b")
+    assert all(v.shape == (16,) for v in a1.values())
+    for k in a1:
+        assert np.allclose(a1[k], a2[k])
+    assert any(not np.allclose(a1[k], b[k]) for k in a1)
+
+
+def test_model_settings_defaults():
+    from crawl4ai_llm_ray.engine import EngineConfig
+
+    cfg = EngineConfig()
+    assert cfg.llm.provider == "local"
+    assert cfg.llm.temperature == 0.0
+    assert cfg.llm.cache_dir
+    from crawl4ai_llm_ray.pipelines.multimodal import PayloadDecoder
+
+    d = PayloadDecoder(model_settings=cfg.llm)
+    assert d.cache_dir == cfg.llm.cache_dir
