@@ -58,6 +58,11 @@ def bench_drain() -> dict:
         seed=42, n_hosts=1000, base_pages=int(120000 * SCALE), zipf_a=1.1
     )
     out = "/dev/shm/bench_drain"
+    # shard count scales with the CPU budget (a 4N-node cluster runs 4N× the
+    # frontier shards): shard actors are zero-CPU bookkeeping processes, so a
+    # FIXED P would hand the low-parallelism run proportionally more
+    # out-of-budget actor compute and skew the scaling denominator
+    n_partitions = max(2, NUM_CPUS)
     # untimed warmup: spawn the worker pool and first-touch heap/plasma pages
     # (this VM zero-fills fresh pages at ~140 MB/s — see BASELINE.md; the
     # guide's "warm the OS page cache with one untimed read" applied to the
@@ -65,14 +70,14 @@ def bench_drain() -> dict:
     warm_cfg = SynthWebConfig(seed=42, n_hosts=200, base_pages=3000, zipf_a=1.1)
     shutil.rmtree(out, ignore_errors=True)
     run_frontier_drain(
-        warm_cfg, out, n_partitions=8, fetch_concurrency=NUM_CPUS, batch_size=8192
+        warm_cfg, out, n_partitions=n_partitions, fetch_concurrency=NUM_CPUS, batch_size=8192
     )
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     res = run_frontier_drain(
         cfg,
         out,
-        n_partitions=8,
+        n_partitions=n_partitions,
         fetch_concurrency=NUM_CPUS,
         batch_size=8192,
     )

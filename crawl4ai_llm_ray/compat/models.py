@@ -21,6 +21,18 @@ from ..functions.hashing import fnv1a64_scalar
 from ..functions.urlnorm import canonicalize_url
 
 
+def _validate_http_url(url: Any, field_name: str) -> None:
+    """pydantic ``HttpUrl``-equivalent validation (reference models.py:27,41):
+    http(s) scheme, non-empty host with a dot or localhost, ≤2083 chars."""
+    if not isinstance(url, str) or len(url) > 2083:
+        raise ValueError(f"{field_name} must be an http(s) URL string ≤2083 chars")
+    if canonicalize_url(url) is None:
+        raise ValueError(f"{field_name} is not a valid http(s) URL: {url!r}")
+    host = url.split("//", 1)[1].split("/", 1)[0].split(":", 1)[0].lower()
+    if not host or ("." not in host and host != "localhost"):
+        raise ValueError(f"{field_name} host must have a TLD or be localhost: {url!r}")
+
+
 @dataclass
 class ProductPrice:
     """Reference models.py:13-21. Amounts are strings, per the reference."""
@@ -38,6 +50,9 @@ class ProductImage:
     url: str
     alt: str | None = None
     position: int | None = None
+
+    def __post_init__(self):
+        _validate_http_url(self.url, "ProductImage.url")
 
 
 @dataclass
@@ -62,8 +77,10 @@ class ProductData:
     def __post_init__(self):
         if not isinstance(self.title, str) or not self.title:
             raise ValueError("title is required")
-        if canonicalize_url(self.url) is None:
-            raise ValueError(f"url is not a valid http(s) URL: {self.url!r}")
+        _validate_http_url(self.url, "ProductData.url")
+        if self.extracted_at is None:
+            # reference stamps extraction time by default (models.py:70)
+            self.extracted_at = datetime.datetime.now()
 
     def to_dict(self) -> dict:
         d = asdict(self)

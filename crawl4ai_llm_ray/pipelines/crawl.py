@@ -73,6 +73,19 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_ckpt", "MANIFEST.json")
 
 
+def _wave_name_re(template: str):
+    """Regex matching directory names produced by ``template`` with the wave
+    number captured — e.g. 'wave_{wave:05d}' → ^wave_(\\d+)$. The engine's
+    analog of the reference's ``filename_template`` ('{product_id}.json',
+    ``/root/reference/crawl4ai_llm/config.py:29``) applied to wave-partitioned
+    output dirs."""
+    import re
+
+    return re.compile(
+        "^" + re.sub(r"\\\{wave[^}]*\\\}", r"(\\d+)", re.escape(template)) + "$"
+    )
+
+
 def run_crawl(
     cfg: SynthWebConfig,
     out_dir: str,
@@ -90,8 +103,13 @@ def run_crawl(
     max_queue_rows: int | None = None,
     max_retries: int = 3,
     salted_hosts: dict[str, int] | None = None,
+    wave_dir_template: str = "wave_{wave:05d}",
 ) -> CrawlResult:
-    """Run (or resume) the crawl. Ray must already be initialised."""
+    """Run (or resume) the crawl. Ray must already be initialised.
+
+    ``wave_dir_template`` names each wave's output directory (must contain a
+    ``{wave...}`` field) — the engine analog of the reference's
+    ``filename_template`` storage option."""
     import ray
     import ray.data as rd
 
@@ -150,10 +168,10 @@ def run_crawl(
         # wipe any output at/after the checkpointed wave (with
         # checkpoint_interval > 1 several completed-but-unckpt'ed waves are
         # deterministically re-run)
+        wave_re = _wave_name_re(wave_dir_template)
         for name in os.listdir(docs_dir):
-            if name.startswith(".tmp_wave_") or (
-                name.startswith("wave_") and int(name[5:]) >= start_wave
-            ):
+            m = wave_re.match(name)
+            if name.startswith(".tmp_") or (m and int(m.group(1)) >= start_wave):
                 shutil.rmtree(os.path.join(docs_dir, name), ignore_errors=True)
 
     import time as _time
@@ -193,8 +211,9 @@ def run_crawl(
             max_retries=max_retries,
             salted_hosts=salted_hosts,
         )
-        tmp = os.path.join(docs_dir, f".tmp_wave_{t:05d}")
-        final = os.path.join(docs_dir, f"wave_{t:05d}")
+        wave_name = wave_dir_template.format(wave=t)
+        tmp = os.path.join(docs_dir, f".tmp_{wave_name}")
+        final = os.path.join(docs_dir, wave_name)
         shutil.rmtree(tmp, ignore_errors=True)
 
         if inline_wave:
@@ -297,10 +316,11 @@ def run_crawl(
     import pyarrow.parquet as pq
 
     pq.write_table(metrics, os.path.join(out_dir, "metrics.parquet"))
+    wave_re = _wave_name_re(wave_dir_template)
     n_docs = sum(
         _count_wave_rows(os.path.join(docs_dir, d))
         for d in os.listdir(docs_dir)
-        if d.startswith("wave_")
+        if wave_re.match(d)
     )
     return CrawlResult(
         out_dir=out_dir,

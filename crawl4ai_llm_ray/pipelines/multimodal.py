@@ -184,6 +184,13 @@ class TextEmbedder:
         self.model_settings = model_settings
         self.dim = dim
         self.vh = vocab_hash_dim
+        # LLM response-cache analog (reference LLMConfig.cache_dir,
+        # config.py:87): memoize embeddings by content hash, once per actor.
+        # A real provider client would key API responses the same way and
+        # spill to model_settings.cache_dir; the stub keeps it in-actor.
+        self._cache: dict[int, np.ndarray] = {}
+        self.cache_hits = 0
+        self.cache_misses = 0
         raw = _remix(
             (np.arange(vocab_hash_dim * dim, dtype=np.uint64) + np.uint64(1))
             * np.uint64(fnv1a64_scalar(f"embed|{seed}") | 1)
@@ -192,31 +199,56 @@ class TextEmbedder:
         # produces an OBJECT array on this numpy
         self.proj = (raw.astype(np.float64) / 2.0**64 - 0.5).reshape(vocab_hash_dim, dim)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _embed(self, texts: list[str]) -> np.ndarray:
+        """Batch embedding: one flatten + one hash pass + one flat bincount
+        scatter + ONE matmul for the whole batch (no per-doc loop)."""
         import itertools
         import re
 
         from ..functions.hashing import fnv1a64
 
-        n_rows = batch.num_rows
+        n = len(texts)
         token_re = re.compile(r"[a-z0-9]+")
-        toks = [token_re.findall(t.lower()) for t in batch["text"].to_pylist()]
+        toks = [token_re.findall(t.lower()) for t in texts]
         per_doc = np.array([len(x) for x in toks], dtype=np.int64)
-        vecs = np.zeros((n_rows, self.dim))
+        vecs = np.zeros((n, self.dim))
         if per_doc.sum():
-            # one flatten + one hash pass + one flat bincount scatter + ONE
-            # matmul for the whole batch (no per-doc loop)
             flat = list(itertools.chain.from_iterable(toks))
             h = (fnv1a64(flat) % np.uint64(self.vh)).astype(np.int64)
-            di = np.repeat(np.arange(n_rows, dtype=np.int64), per_doc)
+            di = np.repeat(np.arange(n, dtype=np.int64), per_doc)
             C = (
-                np.bincount(di * self.vh + h, minlength=n_rows * self.vh)
-                .reshape(n_rows, self.vh)
+                np.bincount(di * self.vh + h, minlength=n * self.vh)
+                .reshape(n, self.vh)
                 .astype(np.float64)
             )
             V = C @ self.proj
             norms = np.linalg.norm(V, axis=1, keepdims=True)
             vecs = V / np.where(norms > 0, norms, 1.0)
+        return vecs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64
+
+        n_rows = batch.num_rows
+        texts = batch["text"].to_pylist()
+        keys = fnv1a64(batch["text"])
+        vecs = np.zeros((n_rows, self.dim))
+        miss: list[int] = []
+        for i in range(n_rows):
+            v = self._cache.get(int(keys[i]))
+            if v is None:
+                miss.append(i)
+            else:
+                vecs[i] = v
+        self.cache_hits += n_rows - len(miss)
+        self.cache_misses += len(miss)
+        if miss:
+            V = self._embed([texts[i] for i in miss])
+            if len(self._cache) > 200_000:  # bound per-actor memory
+                self._cache.clear()
+            for j, i in enumerate(miss):
+                vecs[i] = V[j]
+                self._cache[int(keys[i])] = V[j]
         flat_vals = vecs.astype(np.float32).ravel()
         emb = pa.ListArray.from_arrays(
             pa.array(np.arange(n_rows + 1, dtype=np.int32) * self.dim),
