@@ -61,8 +61,16 @@ def bench_drain() -> dict:
     # shard count scales with the CPU budget (a 4N-node cluster runs 4N× the
     # frontier shards): shard actors are zero-CPU bookkeeping processes, so a
     # FIXED P would hand the low-parallelism run proportionally more
-    # out-of-budget actor compute and skew the scaling denominator
-    n_partitions = max(2, NUM_CPUS)
+    # out-of-budget actor compute and skew the scaling denominator. Capped at
+    # 8 on this box: its shared page-fault path saturates beyond ~8-16
+    # concurrent workers (BASELINE.md), so more shards at 32 CPUs measure the
+    # box, not the engine; the 2-vs-8 scaling pair stays proportional.
+    n_partitions = max(2, min(8, NUM_CPUS))
+    # the fetch+span-decompose stage is memory-bandwidth-bound on this box
+    # (page-zeroing ~140 MB/s shared): size its concurrency to the node's
+    # memory path, not the CPU budget — 12/16/32 concurrent fetch tasks all
+    # measured SLOWER than 8 at num_cpus=32 (18-41 s vs ~15 s; BASELINE.md)
+    fetch_conc = max(2, min(8, NUM_CPUS))
     # untimed warmup: spawn the worker pool and first-touch heap/plasma pages
     # (this VM zero-fills fresh pages at ~140 MB/s — see BASELINE.md; the
     # guide's "warm the OS page cache with one untimed read" applied to the
@@ -70,7 +78,7 @@ def bench_drain() -> dict:
     warm_cfg = SynthWebConfig(seed=42, n_hosts=200, base_pages=3000, zipf_a=1.1)
     shutil.rmtree(out, ignore_errors=True)
     run_frontier_drain(
-        warm_cfg, out, n_partitions=n_partitions, fetch_concurrency=NUM_CPUS, batch_size=8192
+        warm_cfg, out, n_partitions=n_partitions, fetch_concurrency=fetch_conc, batch_size=8192
     )
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -78,7 +86,7 @@ def bench_drain() -> dict:
         cfg,
         out,
         n_partitions=n_partitions,
-        fetch_concurrency=NUM_CPUS,
+        fetch_concurrency=fetch_conc,
         batch_size=8192,
     )
     dt = time.time() - t0
@@ -116,7 +124,7 @@ def bench_crawl() -> dict:
         out,
         n_partitions=8,
         wave_duration=4096.0,  # virtual politeness time: big waves, few barriers
-        fetch_concurrency=NUM_CPUS,
+        fetch_concurrency=max(2, min(8, NUM_CPUS)),  # memory-path-sized (see bench_drain)
         batch_size=4096,
         expected_urls_per_shard=1 << 16,
         checkpoint_interval=2,
