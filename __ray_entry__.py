@@ -116,13 +116,63 @@ list_reduce(
 )"""
 
 
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _modmul_sql(a: str, c: int) -> str:
+    """(a * c) mod 2^64 on UBIGINT without 128-bit overflow: split the
+    constant into 32-bit halves (a*lo fits HUGEINT; a*hi only matters
+    mod 2^32)."""
+    bh, bl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"(((({a})::HUGEINT * {bl} % {_M64}"
+        f" + (({a})::HUGEINT * {bh} % 4294967296) * 4294967296) % {_M64})::UBIGINT)"
+    )
+
+
+def _remix_sql(h: str) -> str:
+    """splitmix64 finalizer (state/bloom.py _remix) on a UBIGINT expression —
+    verified value-exact against the numpy implementation. Unlocks SQL
+    oracles for every remix-derived operator (minhash signatures, band
+    hashes)."""
+    s1 = f"xor(({h}), ({h}) >> 30)"
+    s2 = _modmul_sql(s1, 0xBF58476D1CE4E5B9)
+    s3 = f"xor({s2}, {s2} >> 27)"
+    s4 = _modmul_sql(s3, 0x94D049BB133111EB)
+    return f"xor({s4}, {s4} >> 31)"
+
+
 def oracle_sql() -> dict[str, str]:
     from crawl4ai_llm_ray.pipelines.crawl_queries import CRAWL_OUT
+    from crawl4ai_llm_ray.pipelines.dedup import N_MINHASH
 
     stop_list = "('the','a','of','to','and')"
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     fnv_text = _fnv_sql("text")
     crawl_docs = f"read_parquet('{CRAWL_OUT}/docs/*/*.parquet')"
+    # MinHash+LSH twin: same shingles → 64 seeded-splitmix minhashes →
+    # 8 band-hash folds → bucket-collision candidates → exact-Jaccard verify;
+    # integer-exact end to end, so rows match the engine bit-for-bit
+    golden = 0x9E3779B97F4A7C15
+    mh_seeds = ",".join(str(((i + 1) * golden) % 2**64) for i in range(N_MINHASH))
+    lsh_ctes = f"""
+            exm AS (SELECT doc_id, ({_fnv_sql("s")})::UBIGINT AS shv
+                    FROM (SELECT doc_id, unnest(sh) AS s FROM tri)),
+            seedt AS (SELECT unnest(range(0, {N_MINHASH})) AS si,
+                             unnest([{mh_seeds}]::UBIGINT[]) AS seed),
+            sig AS (SELECT doc_id, si, min({_remix_sql("xor(shv, seed)")}) AS mh
+                    FROM exm CROSS JOIN seedt GROUP BY doc_id, si),
+            bandsig AS (SELECT doc_id, si // 8 AS band, list(mh ORDER BY si) AS sigs
+                        FROM sig GROUP BY doc_id, si // 8),
+            bh AS (SELECT doc_id, band,
+                          list_reduce(list_prepend(14695981039346656037::UBIGINT, sigs),
+                                      (acc, x) -> {_remix_sql("xor(acc, x)")}) AS bhash
+                   FROM bandsig),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bh a JOIN bh b ON a.band = b.band AND a.bhash = b.bhash
+                                        AND a.doc_id < b.doc_id),
+            lshpairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+                         JOIN jpairs j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b)"""
     ngram_pairs_cte = f"""
             toksrc AS (SELECT doc_id, {toks} AS t FROM documents),
             tri AS (
@@ -348,6 +398,45 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": f"""
             WITH {ngram_pairs_cte}
             SELECT doc_a, doc_b FROM jpairs
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {ngram_pairs_cte},
+            {lsh_ctes}
+            SELECT doc_a, doc_b FROM lshpairs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {ngram_pairs_cte},
+            {lsh_ctes},
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM lshpairs
+                      UNION ALL SELECT doc_b, doc_a FROM lshpairs),
+            reach(a, b) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+            ),
+            lab AS (SELECT a AS node, least(a, min(b)) AS label
+                    FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   COALESCE(l.label, d.doc_id) AS cluster_id,
+                   (COALESCE(l.label, d.doc_id) = d.doc_id) AS keep
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+        """,
+        "simhash": f"""
+            WITH T AS (SELECT doc_id, {toks} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM T),
+            h AS (SELECT doc_id, ({_fnv_sql("w")})::UBIGINT AS hv FROM tok),
+            bp AS (SELECT unnest(range(0, 64)) AS b,
+                          unnest([{",".join(str(2**b) for b in range(64))}]::UBIGINT[]) AS p),
+            bits AS (SELECT doc_id, p,
+                            sum(CASE WHEN (hv // p) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+                     FROM h CROSS JOIN bp GROUP BY doc_id, p),
+            sh AS (SELECT doc_id, sum(CASE WHEN votes > 0 THEN p::HUGEINT ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(CASE WHEN sh.s >= 9223372036854775808::HUGEINT
+                                 THEN (sh.s - {_M64})::BIGINT
+                                 ELSE sh.s::BIGINT END, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sh USING (doc_id)
         """,
         "dedup_clusters_exact": f"""
             WITH RECURSIVE {ngram_pairs_cte},
