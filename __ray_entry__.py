@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_per_group": relational3.quantiles_per_group,
         "corr_per_group": relational3.corr_per_group,
         "rolling_mean": relational3.rolling_mean,
-        "approx_distinct_hll": relational3.approx_distinct_hll,  # rows-only
+        "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
         # --- text analysis ---
         "token_count": text.token_count,
         "quality_score": text.quality_score,
@@ -526,6 +526,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "approx_distinct_hll": f"""
+            WITH h AS (SELECT ({_fnv_sql("s")})::UBIGINT AS hv
+                       FROM (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s FROM orders)),
+            r AS (SELECT (hv % 4096)::BIGINT AS idx, hv >> 12 AS rest FROM h),
+            -- rho = trailing-zero rank of the remaining bits, exactly the
+            -- engine's lowest-set-bit trick: isolate it via two's complement
+            -- AND, then its bit position = length of the binary string
+            rho AS (SELECT idx,
+                           CASE WHEN rest = 0 THEN 53
+                                ELSE length(bin((rest & ((({_M64} - rest::HUGEINT) % {_M64})::UBIGINT))::UBIGINT))
+                           END AS rr
+                    FROM r),
+            regs AS (SELECT idx, max(rr) AS reg FROM rho GROUP BY idx),
+            allregs AS (SELECT g.i AS idx, COALESCE(regs.reg, 0) AS reg
+                        FROM (SELECT unnest(range(0, 4096)) AS i) g
+                        LEFT JOIN regs ON g.i = regs.idx),
+            est AS (SELECT (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                           / sum(1.0 / ((1::HUGEINT << reg)::DOUBLE)) AS raw,
+                           sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+                    FROM allregs)
+            SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                                   THEN 4096 * ln(4096 / zeros) ELSE raw END) AS BIGINT)
+                   AS approx_distinct_custkeys
+            FROM est
         """,
         "ann_topk": """
             SELECT vec_id,
