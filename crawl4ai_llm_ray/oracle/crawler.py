@@ -136,8 +136,10 @@ def oracle_crawl(
                 continue
             budget = max(1, int(wave_duration // delay))
             if saltpart:
+                # rotate by fetch opportunity (see frontier.py): t-rotation
+                # aliases with the politeness stride and starves sub-queues
                 s_count = salted_hosts.get(host, 1)
-                offset = (int(saltpart) + t) % s_count
+                offset = (int(saltpart) + t // stride) % s_count
                 slots = list(range(offset, budget, s_count))
             else:
                 slots = list(range(budget))

@@ -379,10 +379,13 @@ class FrontierShard:
             budget = max(1, int(wave_duration // delay))
             if saltpart:
                 # sub-shard j of s fills interleaved slots on the host's
-                # politeness grid, rotated per wave for fairness
+                # politeness grid, rotated per FETCH OPPORTUNITY (t // stride)
+                # for fairness — rotating by t itself would alias with the
+                # stride for slow hosts (stride == s_count ⇒ one sub-queue
+                # gets every slot and the others starve forever)
                 j = int(saltpart)
                 s_count = self.salted_hosts.get(h, 1)
-                offset = (j + t) % s_count
+                offset = (j + t // stride) % s_count
                 slots = np.arange(offset, budget, s_count, dtype=np.int64)
             else:
                 slots = np.arange(budget, dtype=np.int64)

@@ -213,3 +213,81 @@ class TestMultiTaskWaveParity:
             )
         )
         assert got == golden["order"]
+
+
+class TestKitchenSinkParity:
+    """Every crawl feature at once: transient failures + retry, hot-host
+    salting (including a SLOW salted host — politeness stride × salting
+    interaction), delay > wave_duration, bounded queues with spilling,
+    multi-task wave paths with tiny blocks, checkpoint_interval > 1 and
+    resume. Byte-exact parity with the oracle must survive the combination."""
+
+    CFG = SynthWebConfig(
+        seed=77,
+        n_hosts=22,
+        base_pages=40,
+        n_seeds=10,
+        p_transient_fail=0.15,
+        slow_host_delay=20.0,
+    )
+    SALTED = {"h000.test": 2, "h003.test": 3}  # h003 is also a slow host
+    NPART = 5
+
+    def test_full_combination_with_resume(self, ray_session, tmp_path):
+        golden = oracle_crawl(
+            self.CFG, n_partitions=self.NPART, salted_hosts=self.SALTED
+        )
+        out = str(tmp_path / "ks")
+        partial = run_crawl(
+            self.CFG,
+            out,
+            n_partitions=self.NPART,
+            fetch_concurrency=4,
+            expected_urls_per_shard=2048,
+            salted_hosts=self.SALTED,
+            inline_wave_rows=0,
+            wave_block_rows=32,
+            max_queue_rows=64,
+            checkpoint_interval=3,
+            max_waves=4,
+        )
+        assert partial.n_waves == 4
+        res = run_crawl(
+            self.CFG,
+            out,
+            n_partitions=self.NPART,
+            fetch_concurrency=4,
+            expected_urls_per_shard=2048,
+            salted_hosts=self.SALTED,
+            inline_wave_rows=0,
+            wave_block_rows=32,
+            max_queue_rows=64,
+            checkpoint_interval=3,
+            resume=True,
+        )
+        assert res.seen_hashes.tolist() == golden["seen"]
+        assert res.n_docs == len(golden["docs"])
+        order = crawl_order(res.out_dir)
+        got = list(
+            zip(
+                order["seq"].to_pylist(),
+                order["url_canon"].to_pylist(),
+                order["wave"].to_pylist(),
+                order["host"].to_pylist(),
+                order["scheduled_t"].to_pylist(),
+            )
+        )
+        assert got == golden["order"]
+        # politeness invariant incl. the slow salted host
+        from crawl4ai_llm_ray.sources.synth import robots_rules
+
+        rules = robots_rules(self.CFG)
+        by_host = {}
+        for host, sched in zip(
+            order["host"].to_pylist(), order["scheduled_t"].to_pylist()
+        ):
+            by_host.setdefault(host, []).append(sched)
+        for host, times in by_host.items():
+            delay = rules.get(host, ((), 1.0))[1]
+            for a, b in zip(times, times[1:]):
+                assert b - a >= delay - 1e-9, (host, delay, a, b)
