@@ -69,22 +69,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
-        "rolling_fingerprint": text.rolling_hash_fingerprint,  # rows-only
+        "rolling_fingerprint": text.rolling_hash_fingerprint,  # min-FNV SQL oracle
         "deterministic_sample": text.deterministic_sample,
         "random_sample": text.random_sample,                   # rows-only
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
         "dedup_exact_prefix": dedup.dedup_exact_prefix,       # D1
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # rows-only
-        "dedup_clusters": dedup.dedup_clusters,                # rows-only (LSH graph)
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # splitmix-in-SQL oracle
+        "dedup_clusters": dedup.dedup_clusters,                # LSH graph + recursive CTE
         "dedup_clusters_exact": dedup.dedup_clusters_exact,    # recursive-CTE oracle
-        "simhash": dedup.simhash,                              # rows-only
+        "simhash": dedup.simhash,                              # per-bit-majority SQL oracle
         "embed_cosine_pairs": dedup.embed_cosine_pairs,
-        "embed_lsh_pairs": dedup.embed_lsh_pairs,              # rows-only
+        "embed_lsh_pairs": dedup.embed_lsh_pairs,              # SQL LSH twin
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
-        "ann_ivf_topk": ann.ann_ivf_topk,                      # rows-only
+        "ann_ivf_topk": ann.ann_ivf_topk,                      # SQL IVF twin
         # --- multimodal (stubbed decode, real plumbing) ---
         "media_features": multimodal.media_features,           # SQL oracle (byte stats)
         "media_resize_plan": multimodal.media_resize_plan,     # SQL oracle
@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,
         "crawl_span_explode": crawl_queries.crawl_span_explode,
         "crawl_metrics": crawl_queries.crawl_metrics,
-        "crawl_seen_set": crawl_queries.crawl_seen_set,
+        "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
     }
 
@@ -520,6 +520,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, s.kind AS kind, s.text AS text,
                    s.media_ref AS media_ref, s."offset" AS "offset"
             FROM (SELECT doc_id, unnest(spans) AS s FROM {crawl_docs})
+        """,
+        # independent derivation of the frontier's seen set: every fetched
+        # URL plus every link target that canonicalizes into a robots-blocked
+        # path (the only admitted-or-blocked URLs that never reach the docs).
+        # Canonicalization is replayed in SQL over the corpus's messy-variant
+        # space (fragment, :80, trailing slash, uppercase host, unsorted
+        # single-letter query params) — validates dedup + robots semantics
+        # from the outside, not by re-reading the engine's own seen parquet.
+        "crawl_seen_set": f"""
+            WITH docs AS (SELECT url_canon, spans FROM {crawl_docs}),
+            refs AS (SELECT DISTINCT s.media_ref AS ref
+                     FROM (SELECT unnest(spans) AS s FROM docs)
+                     WHERE s.kind = 'link'),
+            c1 AS (SELECT regexp_replace(ref, '#.*$', '') AS u FROM refs),
+            c2 AS (SELECT lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                          regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                          regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+                   FROM c1),
+            c3 AS (SELECT regexp_replace(rawhost, ':80$', '') AS host,
+                          CASE WHEN rawpath = '' THEN '/'
+                               WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                               THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                          CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                          END AS q
+                   FROM c2),
+            canon AS (SELECT 'http://' || host || path || q AS cu, host, path FROM c3),
+            blocked AS (SELECT DISTINCT cu FROM canon
+                        WHERE CAST(substr(host, 2, 3) AS INT) % 3 = 0
+                          AND path LIKE '/private%'),
+            allseen AS (SELECT url_canon AS cu FROM docs UNION SELECT cu FROM blocked)
+            SELECT ({_fnv_sql("cu")})::UBIGINT AS url_hash FROM allseen ORDER BY url_hash
+        """,
+        "embed_lsh_pairs": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            en AS (SELECT vec_id, v,
+                          list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn
+                   FROM e),
+            dim AS (SELECT len(v) AS d FROM e LIMIT 1),
+            -- hyperplanes derived exactly as the engine does: splitmix64 of
+            -- (index+1)*GOLDEN, scaled to [-0.5, 0.5) (both sides round the
+            -- uint64 to double identically)
+            pidx AS (SELECT t, p, i, (t * 3 * d + p * d + i)::UBIGINT AS k
+                     FROM dim,
+                          (SELECT unnest(range(0, 8)) AS t),
+                          (SELECT unnest(range(0, 3)) AS p),
+                          (SELECT unnest(range(0, (SELECT d FROM dim))) AS i)),
+            praw AS (SELECT t, p, i,
+                            {_remix_sql(_modmul_sql("(k + 1)", 0x9E3779B97F4A7C15))} AS r
+                     FROM pidx),
+            pl AS (SELECT t AS tbl, p AS pi,
+                          list((r::DOUBLE) / 18446744073709551616.0 - 0.5 ORDER BY i) AS pv
+                   FROM praw GROUP BY t, p),
+            bits AS (SELECT vec_id, tbl, pi,
+                            CASE WHEN list_sum(list_transform(range(1, (SELECT d FROM dim) + 1),
+                                                              i -> vn[i] * pv[i])) > 0
+                                 THEN (1 << pi) ELSE 0 END AS bit
+                     FROM en CROSS JOIN pl),
+            sig AS (SELECT vec_id, tbl, sum(bit) AS s FROM bits GROUP BY vec_id, tbl),
+            cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                     FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.s = b.s
+                                          AND a.vec_id < b.vec_id)
+            SELECT c.va AS vec_a, c.vb AS vec_b
+            FROM cand c
+            JOIN e x ON x.vec_id = c.va
+            JOIN e y ON y.vec_id = c.vb
+            WHERE list_cosine_similarity(x.v, y.v) >= 0.35
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            en AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn FROM e),
+            dim AS (SELECT len(v) AS d FROM e LIMIT 1),
+            stepv AS (SELECT greatest(1, count(*) // 16) AS s FROM e),
+            -- coarse quantizer: the engine's dataset-side sample (vec_id %
+            -- step == 0, first 16 by vec_id), normalized
+            cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, vn AS cv
+                     FROM en, stepv WHERE vec_id % s = 0 ORDER BY vec_id LIMIT 16),
+            q AS (SELECT vn AS qv FROM en WHERE vec_id = 0),
+            probe AS (SELECT ci FROM cent, q, dim
+                      ORDER BY list_sum(list_transform(range(1, d + 1), i -> cv[i] * qv[i])) DESC, ci
+                      LIMIT 4),
+            assign AS (SELECT vec_id, ci,
+                              row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY list_sum(list_transform(range(1, d + 1),
+                                                    i -> vn[i] * cv[i])) DESC, ci) AS rn
+                       FROM en CROSS JOIN cent, dim),
+            cells AS (SELECT vec_id, ci FROM assign WHERE rn = 1)
+            SELECT en.vec_id,
+                   round(list_sum(list_transform(range(1, (SELECT d FROM dim) + 1),
+                                                 i -> vn[i] * qv[i])), 4) AS cos
+            FROM en JOIN cells USING (vec_id), q
+            WHERE cells.ci IN (SELECT ci FROM probe) AND en.vec_id <> 0
+            ORDER BY cos DESC, vec_id DESC LIMIT 10
         """,
         "embed_cosine_pairs": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
