@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,
         "crawl_span_explode": crawl_queries.crawl_span_explode,
-        "crawl_metrics": crawl_queries.crawl_metrics,
+        "crawl_metrics": crawl_queries.crawl_metrics,          # full accounting replay
         "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
     }
@@ -140,6 +140,66 @@ def _remix_sql(h: str) -> str:
     s3 = f"xor({s2}, {s2} >> 27)"
     s4 = _modmul_sql(s3, 0x94D049BB133111EB)
     return f"xor({s4}, {s4} >> 31)"
+
+
+def _crawl_metrics_sql() -> str:
+    from crawl4ai_llm_ray.pipelines.crawl_queries import _ENTRY_CFG, _N_PARTITIONS, CRAWL_OUT
+    from crawl4ai_llm_ray.sources.synth import seed_table
+
+    seeds = seed_table(_ENTRY_CFG)
+    seed_vals = ",".join(f"('{u}')" for u in seeds["url"].to_pylist())
+    fnv_host = _fnv_sql("host")
+    return f"""
+        WITH docs AS (SELECT url_canon, host, wave, spans
+                      FROM read_parquet('{CRAWL_OUT}/docs/*/*.parquet')),
+        linkev AS (SELECT s.media_ref AS ref, wave + 1 AS t
+                   FROM (SELECT wave, unnest(spans) AS s FROM docs)
+                   WHERE s.kind = 'link'),
+        seedev AS (SELECT u AS ref, 0 AS t FROM (VALUES {seed_vals}) sv(u)),
+        ev AS (SELECT ref, t FROM linkev UNION ALL SELECT ref, t FROM seedev),
+        c1 AS (SELECT regexp_replace(ref, '#.*$', '') AS u, t FROM ev),
+        c2 AS (SELECT lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                      regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                      regexp_extract(u, '\\?([^#]*)$', 1) AS rawq, t
+               FROM c1),
+        c3 AS (SELECT regexp_replace(rawhost, ':80$', '') AS host,
+                      CASE WHEN rawpath = '' THEN '/'
+                           WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                           THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                      CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                           ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                      END AS q, t
+               FROM c2),
+        canon AS (SELECT 'http://' || host || path || q AS cu, host, path, t FROM c3),
+        part AS (SELECT cu, host, path, t, (({fnv_host}) % {_N_PARTITIONS})::INT AS p FROM canon),
+        firstt AS (SELECT cu, min(t) AS ft FROM part GROUP BY cu),
+        tagged AS (SELECT part.*, f.ft,
+                          (CAST(substr(host, 2, 3) AS INT) % 3 = 0
+                           AND path LIKE '/private%') AS blocked
+                   FROM part JOIN firstt f USING (cu)),
+        occ AS (SELECT p, t, count(*) AS occurrences,
+                       count(DISTINCT CASE WHEN t = ft AND NOT blocked THEN cu END) AS admitted,
+                       count(DISTINCT CASE WHEN t = ft AND blocked THEN cu END) AS robots_blocked
+                FROM tagged GROUP BY p, t),
+        fet AS (SELECT (({fnv_host}) % {_N_PARTITIONS})::INT AS p, wave AS t, count(*) AS fetched
+                FROM docs GROUP BY 1, 2),
+        allpt AS (SELECT p, t FROM occ UNION SELECT p, t FROM fet),
+        m AS (SELECT a.p AS partition_id, a.t AS wave,
+                     COALESCE(o.occurrences, 0) AS offered,
+                     COALESCE(o.admitted, 0) AS admitted,
+                     COALESCE(o.occurrences, 0) - COALESCE(o.admitted, 0)
+                       - COALESCE(o.robots_blocked, 0) AS deduped,
+                     COALESCE(o.robots_blocked, 0) AS robots_blocked,
+                     COALESCE(f.fetched, 0) AS fetched
+              FROM allpt a LEFT JOIN occ o ON a.p = o.p AND a.t = o.t
+                           LEFT JOIN fet f ON a.p = f.p AND a.t = f.t)
+        SELECT CAST(partition_id AS INT) AS partition_id, CAST(wave AS INT) AS wave,
+               offered::BIGINT AS offered, admitted::BIGINT AS admitted,
+               deduped::BIGINT AS deduped, robots_blocked::BIGINT AS robots_blocked,
+               fetched::BIGINT AS fetched
+        FROM m
+        WHERE offered + admitted + deduped + robots_blocked + fetched > 0
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -521,6 +581,15 @@ def oracle_sql() -> dict[str, str]:
                    s.media_ref AS media_ref, s."offset" AS "offset"
             FROM (SELECT doc_id, unnest(spans) AS s FROM {crawl_docs})
         """,
+        # full replay of the frontier's per-(partition, wave) accounting from
+        # the docs parquet alone: offer events = link occurrences (parent
+        # wave w → offered at w+1) plus the seed list at wave 0, SQL-
+        # canonicalized; first occurrence of each URL contributes admitted or
+        # robots_blocked at its first-offer wave, every other occurrence is
+        # deduped; fetched = doc count per wave. Independently validates the
+        # north-rule metrics artifact (also exact-equality-tested against the
+        # oracle crawler in pytest).
+        "crawl_metrics": _crawl_metrics_sql(),
         # independent derivation of the frontier's seen set: every fetched
         # URL plus every link target that canonicalizes into a robots-blocked
         # path (the only admitted-or-blocked URLs that never reach the docs).
