@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
+        "corpus_curation": text.corpus_curation,               # composed curation pass
         "rolling_fingerprint": text.rolling_hash_fingerprint,  # min-FNV SQL oracle
         "deterministic_sample": text.deterministic_sample,
         "random_sample": text.random_sample,                   # rows-only
@@ -443,6 +444,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "corpus_curation": f"""
+            WITH T AS (SELECT doc_id, {toks} AS tks, text FROM documents),
+            S AS (SELECT doc_id,
+                         len(tks)::BIGINT AS n_tokens,
+                         CASE WHEN len(tks) > 0
+                              THEN len(list_filter(tks, x -> x IN {stop_list}))::DOUBLE / len(tks)
+                              ELSE 0.0 END AS stop_ratio,
+                         len(list_filter(tks, x -> x IN ('der','die','das'))) AS de,
+                         len(list_filter(tks, x -> x IN ('the','a','of'))) AS en,
+                         len(list_filter(tks, x -> x IN ('le','la','de'))) AS fr
+                  FROM T),
+            L AS (SELECT *, CASE WHEN de = 0 AND en = 0 AND fr = 0 THEN 'unk'
+                                 WHEN de >= en AND de >= fr THEN 'de'
+                                 WHEN en >= fr THEN 'en' ELSE 'fr' END AS lang_pred
+                  FROM S),
+            surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT l.doc_id, n_tokens, stop_ratio, lang_pred
+            FROM L l JOIN surv USING (doc_id)
+            WHERE n_tokens >= 30 AND stop_ratio <= 0.2 AND lang_pred = 'en'
         """,
         "deterministic_sample": """
             SELECT doc_id, text FROM documents

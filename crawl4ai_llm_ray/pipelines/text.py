@@ -132,6 +132,80 @@ def deterministic_sample(sf_dir: str, hex_digits: tuple[str, ...] = ("0", "1")):
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
 
 
+def corpus_curation(
+    sf_dir: str,
+    min_tokens: int = 30,
+    max_stop_ratio: float = 0.2,
+    lang: str = "en",
+    num_partitions: int = 8,
+):
+    """The canonical training-corpus curation pass, composed end to end:
+    per-doc quality signals + language ID (one vectorized map_batches),
+    exact-dedup survivorship (narrow content-hash groupby), then a
+    partitioned hash join + threshold filter. Output: the curated doc list
+    (doc_id, n_tokens, stop_ratio, lang_pred). Every constituent signal is
+    individually oracle-green; the composition is oracle-checked too.
+
+    Scale shape: signals never leave their batch; the join ships only
+    (doc_id, 3 narrow columns) × (doc_id) — no text moves after the first
+    pass."""
+    from .dedup import dedup_exact_text
+
+    def signals(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n_tok = pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
+        stop_hits = None
+        for w in STOPWORDS:
+            c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
+            stop_hits = c if stop_hits is None else pc.add(stop_hits, c)
+        n_np = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
+        s_np = stop_hits.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_np > 0, s_np / n_np, 0.0)
+        scores = {}
+        for lg, words in LANG_MARKERS.items():
+            s = None
+            for w in words:
+                c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
+                s = c if s is None else pc.add(s, c)
+            scores[lg] = s.to_numpy(zero_copy_only=False)
+        langs = sorted(LANG_MARKERS)
+        mat = np.stack([scores[lg] for lg in langs])
+        best = np.argmax(mat, axis=0)
+        best_score = mat[best, np.arange(mat.shape[1])]
+        pred = np.array(langs, dtype=object)[best]
+        pred[best_score == 0] = "unk"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tok,
+                "stop_ratio": pa.array(ratio),
+                "lang_pred": pa.array(pred, type=pa.string()),
+            }
+        )
+
+    sigs = _read_docs(sf_dir).map_batches(signals, batch_format="pyarrow")
+    survivors = dedup_exact_text(sf_dir)  # (doc_id) = min id per content
+    joined = sigs.join(
+        survivors,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], min_tokens),
+                pc.less_equal(t["stop_ratio"], max_stop_ratio),
+            ),
+            pc.equal(t["lang_pred"], lang),
+        )
+        return t.filter(keep)
+
+    return joined.map_batches(threshold, batch_format="pyarrow")
+
+
 def random_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
     """Seeded random sample via Ray's native sampler (rows-only — the RNG
     stream is engine-specific)."""

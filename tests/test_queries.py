@@ -112,3 +112,19 @@ def test_span_explode_roundtrip():
     for _, g in flat.groupby("doc_id"):
         offs = g["offset"].to_list()
         assert offs == sorted(offs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_curation_consistency():
+    """Curated set ⊆ dedup survivors; every row passes all thresholds."""
+    from crawl4ai_llm_ray.pipelines.dedup import dedup_exact_text
+    from crawl4ai_llm_ray.pipelines.text import corpus_curation
+
+    sf = "/root/testdata/sf0.001"
+    cur = corpus_curation(sf).to_pandas()
+    surv = set(dedup_exact_text(sf).to_pandas()["doc_id"])
+    assert len(cur) > 0
+    assert set(cur["doc_id"]) <= surv
+    assert (cur["n_tokens"] >= 30).all()
+    assert (cur["stop_ratio"] <= 0.2).all()
+    assert (cur["lang_pred"] == "en").all()
