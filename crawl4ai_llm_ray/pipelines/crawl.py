@@ -520,13 +520,16 @@ def run_frontier_drain(
     phase["drain"] += _time.time() - t0
 
     t0 = _time.time()
-    rd.from_arrow_refs(all_refs).map_batches(
+    fetched_ds = rd.from_arrow_refs(all_refs).map_batches(
         worker,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=fetch_concurrency,
-    ).write_parquet(docs_dir)
+    )
+    fetched_ds.write_parquet(docs_dir)
     phase["fetch_write"] += _time.time() - t0
+    if os.environ.get("GRAFT_DRAIN_STATS"):
+        print(fetched_ds.stats())
 
     metrics = pa.concat_tables(ray.get([s.metrics_table.remote() for s in shards]))
     for s in shards:
