@@ -204,8 +204,13 @@ def _crawl_metrics_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from crawl4ai_llm_ray.pipelines.crawl_queries import CRAWL_OUT
+    from crawl4ai_llm_ray.pipelines.crawl_queries import CRAWL_OUT, ensure_crawl
     from crawl4ai_llm_ray.pipelines.dedup import N_MINHASH
+
+    # the crawl-derived oracles read the (deterministic, fixed-path) crawl
+    # output; make sure it exists even if the caller evaluates SQL before
+    # running the crawl queries (no-op when already built this process)
+    ensure_crawl()
 
     stop_list = "('the','a','of','to','and')"
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
