@@ -147,6 +147,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     n_shingle_parts: int = 32,
     n_pair_parts: int = 32,
+    max_shingle_df: int | None = None,
 ):
     """ALL document pairs with 3-gram-shingle Jaccard ≥ threshold, computed
     exactly and fully distributed — no driver materialization, no
@@ -163,9 +164,11 @@ def ngram_jaccard_pairs(
         pandas inside.
 
     Scale strategy: pair emission is quadratic in shingle document-frequency —
-    at 100 TB drop shingles with df > cap (stop-shingles, which can only
-    connect near-identical boilerplate) or pre-cluster with minhash_lsh_pairs
-    and verify candidates only. This exact form doubles as the MinHash oracle."""
+    at 100 TB pass ``max_shingle_df`` to drop stop-shingles (df > cap can
+    only connect near-identical boilerplate; shingle groups are complete
+    within their partition, so the df filter is exact and costs one bincount)
+    or pre-cluster with minhash_lsh_pairs and verify candidates only. The
+    default (None) keeps the exact form, which doubles as the MinHash oracle."""
     ds = _read_docs(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -183,6 +186,10 @@ def ngram_jaccard_pairs(
     exploded = ds.map_batches(explode, batch_format="pandas")
 
     def emit_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if max_shingle_df is not None:
+            # exact df per shingle (groups complete in this partition):
+            # stop-shingles above the cap are dropped before the self-join
+            df = df[df.groupby("sh")["sh"].transform("size") <= max_shingle_df]
         m = df.merge(df, on="sh")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if m.empty:
@@ -230,6 +237,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.4,
     n_bucket_parts: int = 32,
     n_pair_parts: int = 32,
+    max_bucket: int | None = None,
 ):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard — fully
     distributed (no driver-side shingle dict, no single-partition funnel):
@@ -249,7 +257,10 @@ def minhash_lsh_pairs(
     shingles twice instead of 8×, at the cost of two more shuffles; the
     bucket-local form wins while shingle sets fit comfortably in blocks
     (they are ~token-count-sized). Hot buckets (identical boilerplate) are
-    the LSH-inherent skew: cap or sample buckets above a size bound at 100 TB."""
+    the LSH-inherent skew: ``max_bucket`` skips buckets above that size
+    (members of such buckets are near-identical boilerplate that exact-dedup
+    should have removed first; skipped-bucket counts are printed once per
+    partition so the drop is never silent). Default None = no cap."""
     ds = _read_docs(sf_dir)
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -311,8 +322,12 @@ def minhash_lsh_pairs(
         # computed bucket-locally from the carried shingle lists
         out_a: list[int] = []
         out_b: list[int] = []
+        skipped = 0
         for _, g in df.groupby(["band", "bhash"], sort=False):
             if len(g) < 2:
+                continue
+            if max_bucket is not None and len(g) > max_bucket:
+                skipped += 1
                 continue
             ids = g["doc_id"].to_numpy()
             sets = [np.asarray(s, dtype=np.int64) for s in g["sh"]]
@@ -327,6 +342,8 @@ def minhash_lsh_pairs(
                     if jac >= threshold:
                         out_a.append(int(a))
                         out_b.append(int(b))
+        if skipped:
+            print(f"minhash_lsh_pairs: skipped {skipped} buckets > max_bucket={max_bucket}")
         a_arr = np.array(out_a, dtype=np.int64)
         return pd.DataFrame(
             {

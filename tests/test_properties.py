@@ -2,6 +2,7 @@
 vectorized/scalar agreement on arbitrary inputs; hash stability."""
 
 import pyarrow as pa
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -53,3 +54,21 @@ def test_hash_vectorized_equals_scalar(texts):
     h = fnv1a64(pa.array(texts, type=pa.string()))
     for i, t in enumerate(texts):
         assert int(h[i]) == fnv1a64_scalar(t)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shingle_df_cap_and_bucket_cap():
+    """Scale knobs: a generous df cap / bucket cap must not change results
+    (this corpus has no shingle above the cap); a df cap of 1 kills all
+    pairs (every shared shingle has df >= 2)."""
+    from crawl4ai_llm_ray.pipelines.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    base = ngram_jaccard_pairs(sf).to_pandas()
+    capped = ngram_jaccard_pairs(sf, max_shingle_df=10_000).to_pandas()
+    assert set(map(tuple, base.values)) == set(map(tuple, capped.values))
+    none_left = ngram_jaccard_pairs(sf, max_shingle_df=1).to_pandas()
+    assert len(none_left) == 0
+    mh = minhash_lsh_pairs(sf).to_pandas()
+    mh_capped = minhash_lsh_pairs(sf, max_bucket=10_000).to_pandas()
+    assert set(map(tuple, mh.values)) == set(map(tuple, mh_capped.values))
