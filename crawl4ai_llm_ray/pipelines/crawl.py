@@ -280,7 +280,8 @@ def run_crawl(
                     batch_size=batch_size,
                     concurrency=fetch_concurrency,
                 )
-                fetched.write_parquet(tmp)
+                # write pool capped like the fetch pool (see run_frontier_drain)
+                fetched.write_parquet(tmp, concurrency=fetch_concurrency)
             else:
                 # all hosts stride-skipped this wave: commit an empty wave dir
                 os.makedirs(tmp, exist_ok=True)
@@ -526,7 +527,10 @@ def run_frontier_drain(
         batch_size=batch_size,
         concurrency=fetch_concurrency,
     )
-    fetched_ds.write_parquet(docs_dir)
+    # cap the write operator at the same concurrency: both stages are
+    # memory-bandwidth-bound, and an uncapped write pool fans out to the full
+    # CPU budget, re-creating the page-fault contention the fetch cap avoids
+    fetched_ds.write_parquet(docs_dir, concurrency=fetch_concurrency)
     phase["fetch_write"] += _time.time() - t0
     if os.environ.get("GRAFT_DRAIN_STATS"):
         print(fetched_ds.stats())
