@@ -72,7 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": text.corpus_curation,               # composed curation pass
         "rolling_fingerprint": text.rolling_hash_fingerprint,  # min-FNV SQL oracle
         "deterministic_sample": text.deterministic_sample,
-        "random_sample": text.random_sample,                   # rows-only
+        "random_sample": text.random_sample,                   # rows-only (engine RNG)
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
         "dedup_exact_prefix": dedup.dedup_exact_prefix,       # D1
@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,           # SQL oracle (byte stats)
         "media_resize_plan": multimodal.media_resize_plan,     # SQL oracle
         "media_chunks": multimodal.media_chunks,               # SQL oracle
-        "text_embeddings": multimodal.text_embeddings,         # rows-only
+        "text_embeddings": multimodal.text_embeddings,         # full-model SQL twin
         # --- crawl pipeline artifacts (exact parity in pytest; doc_stats and
         #     span_explode additionally oracle-checked via DuckDB unnest) ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
@@ -200,6 +200,38 @@ def _crawl_metrics_sql() -> str:
                fetched::BIGINT AS fetched
         FROM m
         WHERE offered + admitted + deduped + robots_blocked + fetched > 0
+    """
+
+
+def _text_embeddings_sql() -> str:
+    from crawl4ai_llm_ray.functions.hashing import fnv1a64_scalar
+
+    # TextEmbedder defaults: dim=32, vocab_hash_dim=256, seed=42
+    seedmul = fnv1a64_scalar("embed|42") | 1
+    zeros = ",".join(["0.0"] * 32)
+    return f"""
+        WITH T AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tks
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(tks) AS w FROM T),
+        hc AS (SELECT doc_id, (({_fnv_sql("w")})::UBIGINT % 256)::BIGINT AS k, count(*) AS c
+               FROM tok GROUP BY doc_id, k),
+        pidx AS (SELECT k, j, (k * 32 + j)::UBIGINT AS idx
+                 FROM (SELECT unnest(range(0, 256)) AS k),
+                      (SELECT unnest(range(0, 32)) AS j)),
+        proj AS (SELECT k, j,
+                        ({_remix_sql(_modmul_sql("(idx + 1)", seedmul))}::DOUBLE)
+                        / 18446744073709551616.0 - 0.5 AS p
+                 FROM pidx),
+        v AS (SELECT hc.doc_id, proj.j, sum(hc.c * proj.p) AS vj
+              FROM hc JOIN proj ON hc.k = proj.k GROUP BY hc.doc_id, proj.j),
+        nrm AS (SELECT doc_id, sqrt(sum(vj * vj)) AS n FROM v GROUP BY doc_id),
+        emb AS (SELECT v.doc_id,
+                       list((CASE WHEN nrm.n > 0 THEN vj / nrm.n ELSE vj END)::FLOAT
+                            ORDER BY j) AS embedding
+                FROM v JOIN nrm USING (doc_id) GROUP BY v.doc_id)
+        SELECT d.doc_id,
+               COALESCE(emb.embedding, [{zeros}]::FLOAT[]) AS embedding
+        FROM documents d LEFT JOIN emb USING (doc_id)
     """
 
 
@@ -606,6 +638,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, s.kind AS kind, s.text AS text,
                    s.media_ref AS media_ref, s."offset" AS "offset"
             FROM (SELECT doc_id, unnest(spans) AS s FROM {crawl_docs})
+        """,
+        # stub embedding model replayed end-to-end in SQL: token hash → 256-dim
+        # count vector → splitmix-derived projection matrix → L2 normalize →
+        # float32 — numerically bit-equal (the float32 cast absorbs the
+        # double-sum ordering difference)
+        "text_embeddings": _text_embeddings_sql(),
+        # round-trip/schema stability of the flagship interleaved output
+        # (same parquet read on both sides — the DERIVED crawl checks are
+        # crawl_doc_stats / crawl_span_explode / crawl_seen_set / crawl_metrics)
+        "crawl_interleaved_docs": f"""
+            SELECT doc_id, spans FROM {crawl_docs}
+        """,
+        # point/batch read of the three smallest doc_ids (the reference
+        # get_products contract) — key choice is deterministic on both sides
+        "crawl_doc_lookup": f"""
+            SELECT * FROM {crawl_docs}
+            WHERE doc_id IN (SELECT doc_id FROM {crawl_docs} ORDER BY doc_id LIMIT 3)
         """,
         # full replay of the frontier's per-(partition, wave) accounting from
         # the docs parquet alone: offer events = link occurrences (parent

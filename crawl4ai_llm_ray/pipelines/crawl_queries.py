@@ -143,14 +143,15 @@ def doc_lookup(out_dir: str, doc_ids: list[str]):
 
 
 def crawl_doc_lookup(sf_dir: str = ""):
-    """Driver query: look up the first three crawled docs by id."""
+    """Driver query: point/batch lookup of the three smallest doc_ids
+    (deterministic key choice — file order is not)."""
     out = ensure_crawl()
     import pyarrow.parquet as pq
 
-    ids = (
+    ids = sorted(
         pq.read_table(os.path.join(out, "docs"), columns=["doc_id"])["doc_id"]
-        .to_pylist()[:3]
-    )
+        .to_pylist()
+    )[:3]
     return doc_lookup(out, ids)
 
 
