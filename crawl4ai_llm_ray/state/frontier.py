@@ -55,7 +55,8 @@ COLD_SHARD_THRESHOLD = 4096
 
 
 def _url_path(url: str) -> str:
-    """Path component of a canonical URL ("/" when absent). Robots disallow
+    """Path component of a canonical URL ("/" when absent) — the scalar SPEC
+    for the vectorized Arrow path extraction in ``offer``. Robots disallow
     prefixes match on the PATH, scheme-independently — matching the oracle
     (oracle/crawler.py) and real robots.txt semantics (an https URL must not
     bypass a '/private' disallow)."""
@@ -201,9 +202,12 @@ class FrontierShard:
         depths_all = table["depth"].to_numpy(zero_copy_only=False)
 
         if len(new_idx):
-            urls = np.asarray(
-                table["url_canon"].take(pa.array(new_idx)).to_pylist(), dtype=object
-            )
+            import pyarrow.compute as pc
+
+            urls_pa = table["url_canon"].take(pa.array(new_idx))
+            if isinstance(urls_pa, pa.ChunkedArray):
+                urls_pa = urls_pa.combine_chunks()
+            urls = np.asarray(urls_pa.to_pylist(), dtype=object)
             hosts = np.asarray(
                 table["host"].take(pa.array(new_idx)).to_pylist(), dtype=object
             )
@@ -211,7 +215,11 @@ class FrontierShard:
             depths = depths_all[new_idx].astype(np.int32)
             hashes = url_hash[new_idx]
 
-            # robots gate (match by PATH — scheme-independent, like the oracle)
+            # robots gate (match by PATH — scheme-independent, like the
+            # oracle): paths extracted once per offer with one Arrow regex
+            # kernel, per-host prefix checks via vectorized starts_with
+            paths_pa = pc.replace_substring_regex(urls_pa, r"^https?://[^/]*", "")
+            paths_pa = pc.if_else(pc.equal(paths_pa, ""), pa.scalar("/"), paths_pa)
             blocked_total = 0
             keep_rows = np.ones(len(new_idx), dtype=bool)
             uniq_hosts, inv = np.unique(hosts, return_inverse=True)
@@ -220,11 +228,10 @@ class FrontierShard:
                 if not prefixes:
                     continue
                 g = np.flatnonzero(inv == gi)
-                blocked = np.fromiter(
-                    (_url_path(u).startswith(prefixes) for u in urls[g]),
-                    dtype=bool,
-                    count=len(g),
-                )
+                pg = paths_pa.take(pa.array(g))
+                blocked = np.zeros(len(g), dtype=bool)
+                for pref in prefixes:
+                    blocked |= pc.starts_with(pg, pref).to_numpy(zero_copy_only=False)
                 blocked_total += int(blocked.sum())
                 keep_rows[g[blocked]] = False
             counts["robots_blocked"] = blocked_total

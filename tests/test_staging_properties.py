@@ -107,3 +107,22 @@ def test_staging_resolve_is_order_independent(items, seed, n_batches):
         w1.to_pydict(),
         w2.to_pydict(),
     )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    host=st.from_regex(r"[a-z0-9.\-]{1,12}", fullmatch=True),
+    path=st.from_regex(r"(/[a-zA-Z0-9._\-]{0,8}){0,4}", fullmatch=True),
+    scheme=st.sampled_from(["http", "https"]),
+)
+def test_url_path_scalar_spec_matches_vectorized(host, path, scheme):
+    """offer()'s Arrow path extraction must agree with the scalar spec."""
+    import pyarrow.compute as pc
+
+    from crawl4ai_llm_ray.state.frontier import _url_path
+
+    url = f"{scheme}://{host}{path}"
+    arr = pa.array([url], type=pa.string())
+    p = pc.replace_substring_regex(arr, r"^https?://[^/]*", "")
+    p = pc.if_else(pc.equal(p, ""), pa.scalar("/"), p)
+    assert p.to_pylist()[0] == _url_path(url)
