@@ -207,9 +207,25 @@ def corpus_curation(
 
 
 def random_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
-    """Seeded random sample via Ray's native sampler (rows-only — the RNG
-    stream is engine-specific)."""
-    return _read_docs(sf_dir).random_sample(fraction, seed=seed)
+    """Seeded random sample via the hash-threshold spec: keep a doc iff
+    ``remix(fnv1a64(text) XOR remix(seed)) < fraction * 2^64`` — the
+    deterministic_sample pattern parameterized by an RNG-style seed. The
+    splitmix remix output is uniform in u64, so this behaves like a seeded
+    Bernoulli sample but is reproducible across engines (and across
+    cluster sizes / batchings — no per-worker RNG stream), which is why
+    large-corpus pipelines hash-sample instead of RNG-sampling.
+    SQL-oracle-checked (the remix/FNV chain is replayed in DuckDB)."""
+    from ..functions.hashing import fnv1a64
+    from ..state.bloom import _remix
+
+    thr = np.uint64(min(int(fraction * 2.0**64), 2**64 - 1))
+    seed_u = _remix(np.array([seed], dtype=np.uint64))[0]
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = _remix(fnv1a64(t["text"]) ^ seed_u)
+        return t.filter(pa.array(keys < thr))
+
+    return _read_docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
 def rolling_hash_fingerprint(sf_dir: str):
