@@ -376,8 +376,15 @@ class AsyncArrowProductStore:
     parquet flushes; each call is delegated via ``asyncio.to_thread`` so an
     event loop running real fetches is never blocked by a flush."""
 
-    def __init__(self, directory: str, flush_every: int = 1):
-        self._store = ArrowProductStore(directory, flush_every=flush_every)
+    def __init__(self, directory: str, flush_every: int = 1, _store=None):
+        # _store: wrap an existing sync store (get_storage passes the
+        # path-singleton instance so sync and async surfaces over the same
+        # directory share ONE in-memory index)
+        self._store = (
+            _store
+            if _store is not None
+            else ArrowProductStore(directory, flush_every=flush_every)
+        )
 
     # the sync store, for engine interop (to_dataset etc.)
     @property
@@ -435,16 +442,24 @@ class AsyncArrowProductStore:
 
 
 _REGISTRY = {"arrow": ArrowProductStore, "json": ArrowProductStore, "async": AsyncArrowProductStore}
-_instances: dict[tuple, ArrowProductStore] = {}
+_instances: dict[str, ArrowProductStore] = {}  # resolved path → SYNC store
+_async_instances: dict[str, AsyncArrowProductStore] = {}
 
 
 def get_storage(storage_type: str = "arrow", path: str = "/tmp/arrow_store", **options):
     """Factory/registry (reference factory.py:26-63, with its
     config-attribute and singleton-signature bugs fixed — SURVEY §8 n.1):
-    singleton per (type, path)."""
+    singleton per RESOLVED PATH. 'arrow'/'json'/'async' over the same
+    directory share ONE in-memory index (the async facade wraps the cached
+    sync store), so writes through any surface are immediately visible to —
+    and can never be clobbered by the write-through flushes of — the others."""
     if storage_type not in _REGISTRY:
         raise ValueError(f"Unknown storage type: {storage_type}")
-    key = (storage_type, path)
+    key = os.path.realpath(path)
     if key not in _instances:
-        _instances[key] = _REGISTRY[storage_type](path, **options)
+        _instances[key] = ArrowProductStore(path, **options)
+    if storage_type == "async":
+        if key not in _async_instances:
+            _async_instances[key] = AsyncArrowProductStore(path, _store=_instances[key])
+        return _async_instances[key]
     return _instances[key]

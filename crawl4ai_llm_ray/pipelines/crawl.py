@@ -110,8 +110,19 @@ def run_crawl(
     ``wave_dir_template`` names each wave's output directory (must contain a
     ``{wave...}`` field) — the engine analog of the reference's
     ``filename_template`` storage option."""
+    import re as _re
+
     import ray
     import ray.data as rd
+
+    if not _re.search(r"\{wave[^}]*\}", wave_dir_template):
+        # without a {wave...} field every wave targets the same dir (the
+        # atomic os.replace onto a non-empty dir fails) and resume's
+        # _wave_name_re has no capture group — fail fast instead
+        raise ValueError(
+            "wave_dir_template must contain a '{wave...}' format field, "
+            f"got {wave_dir_template!r}"
+        )
 
     robots = robots_rules(cfg)
     ckpt_dir = os.path.join(out_dir, "_ckpt")
@@ -131,6 +142,15 @@ def run_crawl(
             manifest = json.load(f)
 
     if manifest is None:
+        # fresh (non-resume) start into a possibly-dirty out_dir: wipe stale
+        # wave output, checkpoints and lineage from any earlier run — else the
+        # atomic tmp→rename wave commit hits an existing non-empty wave dir
+        # and stale artifacts (seen parts, lineage) leak into the new run's
+        # results (ADVICE r2)
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        os.makedirs(docs_dir, exist_ok=True)
+        os.makedirs(ckpt_dir, exist_ok=True)
         shards = [
             ShardActor.remote(
                 p,
@@ -308,8 +328,12 @@ def run_crawl(
 
     metrics = pa.concat_tables(ray.get([s.metrics_table.remote() for s in shards]))
     # per-shard seen persistence: each shard writes its own partition — raw
-    # hashes never transit or concatenate on the driver (≈80 GB at 10^10 URLs)
+    # hashes never transit or concatenate on the driver (≈80 GB at 10^10 URLs).
+    # Clear the dir first: a rerun into an existing out_dir with FEWER
+    # partitions would otherwise leave stale part files that get unioned into
+    # seen_hashes / crawl_seen_set
     seen_dir = os.path.join(out_dir, "seen")
+    shutil.rmtree(seen_dir, ignore_errors=True)
     ray.get([s.persist_seen.remote(seen_dir) for s in shards])
     for s in shards:
         ray.kill(s)

@@ -25,29 +25,72 @@ _N_PARTITIONS = 4
 # _ENTRY_CFG), so a stable location lets the DuckDB oracle SQL for the
 # crawl-derived queries read the same docs parquet the engine produced
 CRAWL_OUT = "/tmp/crawl4ai_llm_ray_entry/crawl"
+# bump whenever crawl/synth/frontier SEMANTICS change: the fingerprint below
+# invalidates any cached artifact built by older code, so oracle-vs-engine
+# comparisons can never silently run against a stale crawl output
+CRAWL_SEMANTICS_VERSION = 3
 _cached_out: str | None = None
 
 
-def ensure_crawl() -> str:
-    """Run the flagship crawl once per process; reuse its (fixed,
-    deterministic) output dir."""
-    global _cached_out
-    if _cached_out is None or not os.path.exists(
-        os.path.join(_cached_out, "metrics.parquet")
-    ):
-        if not os.path.exists(os.path.join(CRAWL_OUT, "metrics.parquet")):
-            import shutil
+def _fingerprint() -> str:
+    """Identity of the cached crawl artifact: semantics version + full config
+    + partitioning (SynthWebConfig is a dataclass — repr is stable and
+    field-complete)."""
+    return f"v{CRAWL_SEMANTICS_VERSION}|{_ENTRY_CFG!r}|P={_N_PARTITIONS}"
 
-            shutil.rmtree(CRAWL_OUT, ignore_errors=True)
-            os.makedirs(CRAWL_OUT, exist_ok=True)
-            run_crawl(
-                _ENTRY_CFG,
-                CRAWL_OUT,
-                n_partitions=_N_PARTITIONS,
-                fetch_concurrency=4,
-                expected_urls_per_shard=4096,
-            )
-        _cached_out = CRAWL_OUT
+
+def _fingerprint_ok() -> bool:
+    try:
+        with open(os.path.join(CRAWL_OUT, "FINGERPRINT")) as f:
+            return f.read() == _fingerprint()
+    except OSError:
+        return False
+
+
+def ensure_crawl() -> str:
+    """Run the flagship crawl once; reuse its (fixed, deterministic) output
+    dir across processes. The artifact carries a FINGERPRINT of the code
+    version + config that produced it and is rebuilt on mismatch; the build
+    happens in a scratch dir and is swapped in atomically under an exclusive
+    flock, so concurrent processes never read a half-built artifact or
+    rmtree one another's output."""
+    global _cached_out
+    if _cached_out is not None and _fingerprint_ok():
+        return _cached_out
+    import fcntl
+    import shutil
+
+    parent = os.path.dirname(CRAWL_OUT)
+    os.makedirs(parent, exist_ok=True)
+    with open(os.path.join(parent, ".crawl.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if not (
+                os.path.exists(os.path.join(CRAWL_OUT, "metrics.parquet"))
+                and _fingerprint_ok()
+            ):
+                build = f"{CRAWL_OUT}.build-{os.getpid()}"
+                shutil.rmtree(build, ignore_errors=True)
+                os.makedirs(build, exist_ok=True)
+                run_crawl(
+                    _ENTRY_CFG,
+                    build,
+                    n_partitions=_N_PARTITIONS,
+                    fetch_concurrency=4,
+                    expected_urls_per_shard=4096,
+                )
+                with open(os.path.join(build, "FINGERPRINT"), "w") as f:
+                    f.write(_fingerprint())
+                # atomic swap: retire the stale artifact, rename the build in
+                old = f"{CRAWL_OUT}.old-{os.getpid()}"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(CRAWL_OUT):
+                    os.rename(CRAWL_OUT, old)
+                os.rename(build, CRAWL_OUT)
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+    _cached_out = CRAWL_OUT
     return _cached_out
 
 
