@@ -261,6 +261,10 @@ def minhash_lsh_pairs(
     (members of such buckets are near-identical boilerplate that exact-dedup
     should have removed first; skipped-bucket counts are printed once per
     partition so the drop is never silent). Default None = no cap."""
+    if threshold <= 0:
+        # the vectorized bucket verify prunes co-bucket pairs sharing zero
+        # shingles implicitly — only valid when they can't pass the filter
+        raise ValueError("minhash_lsh_pairs requires threshold > 0")
     ds = _read_docs(sf_dir)
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -316,42 +320,66 @@ def minhash_lsh_pairs(
 
     banded = ds.map_batches(band_rows, batch_format="pyarrow")
 
+    _VERIFY_EMPTY = pd.DataFrame(
+        {
+            "a": np.empty(0, np.int64),
+            "b": np.empty(0, np.int64),
+            "ap": np.empty(0, np.int64),
+        }
+    )
+
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
         # df = all band rows of one bucket partition: (band, bhash) groups are
         # complete here, so candidates AND their exact-Jaccard verdicts are
-        # computed bucket-locally from the carried shingle lists
-        out_a: list[int] = []
-        out_b: list[int] = []
-        skipped = 0
-        for _, g in df.groupby(["band", "bhash"], sort=False):
-            if len(g) < 2:
-                continue
-            if max_bucket is not None and len(g) > max_bucket:
-                skipped += 1
-                continue
-            ids = g["doc_id"].to_numpy()
-            sets = [np.asarray(s, dtype=np.int64) for s in g["sh"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a, b = ids[i], ids[j]
-                    sa, sb = sets[i], sets[j]
-                    if a > b:
-                        a, b = b, a
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    jac = inter / (len(sa) + len(sb) - inter)
-                    if jac >= threshold:
-                        out_a.append(int(a))
-                        out_b.append(int(b))
-        if skipped:
-            print(f"minhash_lsh_pairs: skipped {skipped} buckets > max_bucket={max_bucket}")
-        a_arr = np.array(out_a, dtype=np.int64)
-        return pd.DataFrame(
+        # computed bucket-locally from the carried shingle lists — fully
+        # vectorized: explode every surviving row's shingles once, self-merge
+        # on (group, shingle), then ONE grouped co-occurrence count gives the
+        # exact intersection of every candidate pair (the same partial-emit
+        # pattern as ngram_jaccard_pairs; no per-pair Python loop). Co-bucket
+        # pairs sharing zero shingles are pruned implicitly — with
+        # threshold > 0 they could never pass the Jaccard verify.
+        if not len(df):
+            return _VERIFY_EMPTY
+        gid = df.groupby(["band", "bhash"], sort=False).ngroup().to_numpy()
+        sizes = np.bincount(gid)
+        ok = sizes[gid] >= 2
+        if max_bucket is not None:
+            big = sizes[gid] > max_bucket
+            nbig = len(np.unique(gid[big]))
+            if nbig:
+                print(
+                    f"minhash_lsh_pairs: skipped {nbig} buckets > max_bucket={max_bucket}"
+                )
+            ok &= ~big
+        if not ok.any():
+            return _VERIFY_EMPTY
+        ids = df["doc_id"].to_numpy()[ok]
+        g = gid[ok]
+        shl = df["sh"].to_numpy()[ok]
+        lens = np.fromiter((len(s) for s in shl), dtype=np.int64, count=len(shl))
+        flat = np.concatenate(list(shl)).astype(np.int64, copy=False)
+        row = np.repeat(np.arange(len(ids)), lens)
+        ex = pd.DataFrame({"g": g[row], "sh": flat, "doc": ids[row]})
+        m = ex.merge(ex, on=["g", "sh"])
+        m = m[m["doc_x"] < m["doc_y"]]
+        if m.empty:
+            return _VERIFY_EMPTY
+        cnt = m.groupby(["g", "doc_x", "doc_y"], as_index=False).size()
+        # (g, doc) is unique (each doc emits one row per band) → safe joins
+        sz = pd.DataFrame({"g": g, "doc": ids, "n": lens})
+        cnt = cnt.merge(sz.rename(columns={"doc": "doc_x", "n": "na"}), on=["g", "doc_x"])
+        cnt = cnt.merge(sz.rename(columns={"doc": "doc_y", "n": "nb"}), on=["g", "doc_y"])
+        inter = cnt["size"].to_numpy().astype(np.float64)
+        union = cnt["na"].to_numpy() + cnt["nb"].to_numpy() - inter
+        keep = inter / union >= threshold
+        pr = pd.DataFrame(
             {
-                "a": a_arr,
-                "b": np.array(out_b, dtype=np.int64),
-                "ap": a_arr % n_pair_parts,
+                "a": cnt["doc_x"].to_numpy()[keep].astype(np.int64),
+                "b": cnt["doc_y"].to_numpy()[keep].astype(np.int64),
             }
-        )
+        ).drop_duplicates()  # same pair via several buckets of this partition
+        a = pr["a"].to_numpy()
+        return pd.DataFrame({"a": a, "b": pr["b"].to_numpy(), "ap": a % n_pair_parts})
 
     verified = banded.groupby("bp").map_groups(bucket_verify, batch_format="pandas")
 
@@ -616,15 +644,27 @@ def dedup_clusters_exact(sf_dir: str, n: int = 3, threshold: float = 0.4):
 
 
 # -------------------------------------------------- embedding-cosine near-dup
-def embed_cosine_pairs(sf_dir: str, threshold: float = 0.35):
+def embed_cosine_pairs(sf_dir: str, threshold: float = 0.35, max_rows: int = 100_000):
     """All embedding pairs with cosine ≥ threshold: brute-force per batch
     against the broadcast normalized matrix (numpy matmul). The broadcast side
-    is ray.put ONCE and read per task — never re-shipped per batch. At 10^9+
-    vectors the same stage runs after LSH/IVF bucketing (see
-    pipelines/ann.py) so each batch multiplies only against its bucket."""
+    is ray.put ONCE and read per task — never re-shipped per batch.
+
+    This is the documented O(n²) ORACLE BASELINE for embed_lsh_pairs, not a
+    scale path: above ``max_rows`` it refuses to run (the full-matrix
+    broadcast + n² matmul would be a cluster-killer at 10^9 vectors) and
+    points at embed_lsh_pairs, whose bucket-partitioned verify computes the
+    same pairs without ever materializing the matrix."""
     import ray
     import pyarrow.parquet as pq
 
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embed_cosine_pairs is the brute-force oracle baseline (full-matrix "
+            f"broadcast, O(n²) compare): {n_rows} rows > max_rows={max_rows}. "
+            "Use embed_lsh_pairs (the distributed LSH scale path) or raise "
+            "max_rows explicitly for a deliberate small-corpus run."
+        )
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     M = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)

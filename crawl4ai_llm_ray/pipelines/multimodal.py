@@ -93,23 +93,40 @@ class PayloadDecoder:
         scale = 10.0 ** nd
         return float(np.floor(abs(x) * scale + 0.5) / scale * np.sign(x) if x else 0.0)
 
+    @staticmethod
+    def _round_half_away_vec(x: np.ndarray, nd: int = 4) -> np.ndarray:
+        scale = 10.0 ** nd
+        return np.where(
+            x == 0, 0.0, np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x)
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats_mean = np.empty(batch.num_rows)
-        feats_std = np.empty(batch.num_rows)
-        n_bytes = np.empty(batch.num_rows, dtype=np.int64)
-        payloads = batch["payload"].to_pylist()
-        for i, p in enumerate(payloads):
-            b = self._decode_fake(p)
-            feats_mean[i] = self._round_half_away(float(b.mean()))
-            feats_std[i] = self._round_half_away(float(b.std()))
-            n_bytes[i] = len(p)
+        # fake-decode path vectorized batch-wide: byte mean/std straight off
+        # the Arrow binary column's value buffer + offsets (zero per-row
+        # Python; a REAL codec is inherently per-item and would loop here —
+        # that loop belongs in _decode_real)
+        col = batch["payload"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8).astype(
+            np.float64
+        )
+        starts, ends = offs[:-1], offs[1:]
+        lens = (ends - starts).astype(np.float64)
+        eff = np.where(lens > 0, lens, 1.0)  # empty payload decodes to [0]
+        cs = np.concatenate([[0.0], np.cumsum(data)])
+        cs2 = np.concatenate([[0.0], np.cumsum(data * data)])
+        means = (cs[ends] - cs[starts]) / eff
+        var = np.maximum((cs2[ends] - cs2[starts]) / eff - means * means, 0.0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "media_kind": batch["media_kind"],
-                "n_bytes": pa.array(n_bytes),
-                "byte_mean": pa.array(feats_mean),
-                "byte_std": pa.array(feats_std),
+                "n_bytes": pa.array(ends - starts),
+                "byte_mean": pa.array(self._round_half_away_vec(means)),
+                "byte_std": pa.array(self._round_half_away_vec(np.sqrt(var))),
             }
         )
 
