@@ -104,12 +104,15 @@ def run_crawl(
     max_retries: int = 3,
     salted_hosts: dict[str, int] | None = None,
     wave_dir_template: str = "wave_{wave:05d}",
+    fetch_fn=None,
 ) -> CrawlResult:
     """Run (or resume) the crawl. Ray must already be initialised.
 
     ``wave_dir_template`` names each wave's output directory (must contain a
     ``{wave...}`` field) — the engine analog of the reference's
-    ``filename_template`` storage option."""
+    ``filename_template`` storage option. ``fetch_fn`` swaps the transport
+    (default: deterministic synthetic web; stages/http_fetch.HttpFetchFn for
+    real HTTP)."""
     import re as _re
 
     import ray
@@ -230,6 +233,7 @@ def run_crawl(
             n_partitions=n_partitions,
             max_retries=max_retries,
             salted_hosts=salted_hosts,
+            fetch_fn=fetch_fn,
         )
         wave_name = wave_dir_template.format(wave=t)
         tmp = os.path.join(docs_dir, f".tmp_{wave_name}")

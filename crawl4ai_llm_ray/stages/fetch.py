@@ -43,18 +43,26 @@ class FetcherWorker:
         n_partitions: int = 1,
         max_retries: int = 3,
         salted_hosts: dict[str, int] | None = None,
+        fetch_fn=None,
     ):
         self.cfg = synth_cfg
         self.shards = shards  # list[ActorHandle] | None (no loopback)
         self.n_partitions = n_partitions
         self.max_retries = max_retries  # reference CrawlerConfig.max_retries
         self.salted_hosts = salted_hosts
+        # pluggable transport: fetch_fn(urls, retries) -> page-batch dict
+        # (stages/http_fetch.HttpFetchFn is the real-HTTP implementation;
+        # None = the deterministic synthetic web)
+        self.fetch_fn = fetch_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..schema import SPAN_STRUCT
 
         n = batch.num_rows
-        out = fetch_pages(self.cfg, batch["url_canon"], retries=self.max_retries)
+        if self.fetch_fn is not None:
+            out = self.fetch_fn(batch["url_canon"], self.max_retries)
+        else:
+            out = fetch_pages(self.cfg, batch["url_canon"], retries=self.max_retries)
 
         # assemble the spans list<struct> column from the flat batch arrays
         offsets = np.zeros(n + 1, dtype=np.int32)
