@@ -66,11 +66,15 @@ def bench_drain() -> dict:
     # concurrent workers (BASELINE.md), so more shards at 32 CPUs measure the
     # box, not the engine; the 2-vs-8 scaling pair stays proportional.
     n_partitions = max(2, min(8, NUM_CPUS))
-    # the fetch+span-decompose stage is memory-bandwidth-bound on this box
-    # (page-zeroing ~140 MB/s shared): size its concurrency to the node's
-    # memory path, not the CPU budget — 12/16/32 concurrent fetch tasks all
-    # measured SLOWER than 8 at num_cpus=32 (18-41 s vs ~15 s; BASELINE.md)
-    fetch_conc = max(2, min(8, NUM_CPUS))
+    # the fetch+span-decompose+write stage is memory-bandwidth-bound on this
+    # box (page-zeroing ~140 MB/s shared): size its concurrency to the node's
+    # memory path, not the CPU budget. Round 2 (separate fetch and write
+    # operators, 2 memory-heavy pools) peaked at 8; round 3's FUSED
+    # fetch+encode+write stage halves the memory traffic per row and peaks at
+    # 16 (interleaved min-of-3 A/B: 7.15 s @16 vs 8.09 s @8 — BASELINE.md).
+    # The 2-vs-8-CPU scaling pair is below the cap either way, so the
+    # proportionality of the scaling evidence is unchanged.
+    fetch_conc = max(2, min(16, NUM_CPUS))
     # untimed warmup: spawn the worker pool and first-touch heap/plasma pages
     # (this VM zero-fills fresh pages at ~140 MB/s — see BASELINE.md; the
     # guide's "warm the OS page cache with one untimed read" applied to the
@@ -81,12 +85,13 @@ def bench_drain() -> dict:
         warm_cfg, out, n_partitions=n_partitions, fetch_concurrency=fetch_conc, batch_size=8192
     )
     shutil.rmtree(out, ignore_errors=True)
-    # min-of-2 timed runs: this box's shared page-fault path adds up to ±2x
-    # run-to-run variance to memory-heavy pipelines (BASELINE.md env notes);
-    # min-of-N is the same low-noise protocol the scaling evidence uses
+    # min-of-3 timed runs: this box's shared page-fault path adds up to ±2.5x
+    # run-to-run variance to memory-heavy pipelines (BASELINE.md env notes —
+    # the same code measured 7.2 s and 19.3 s an hour apart); min-of-N is the
+    # same low-noise protocol the scaling evidence uses
     dt = float("inf")
     res = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         r = run_frontier_drain(
             cfg,

@@ -297,18 +297,18 @@ def run_crawl(
             phase["drain"] += _time.time() - t0
 
             t0 = _time.time()
+            os.makedirs(tmp, exist_ok=True)
             if refs:
+                # fused fetch+encode+write into the tmp wave dir (see
+                # _FetchWriteTask); the atomic tmp→rename wave commit below is
+                # unchanged, so a crash mid-wave still leaves no partial wave
                 fetched = rd.from_arrow_refs(refs).map_batches(
-                    worker,
+                    _FetchWriteTask(worker, tmp),
                     batch_format="pyarrow",
                     batch_size=batch_size,
                     concurrency=fetch_concurrency,
                 )
-                # write pool capped like the fetch pool (see run_frontier_drain)
-                fetched.write_parquet(tmp, concurrency=fetch_concurrency)
-            else:
-                # all hosts stride-skipped this wave: commit an empty wave dir
-                os.makedirs(tmp, exist_ok=True)
+                fetched.sum("rows")
             os.replace(tmp, final)  # atomic wave commit
             phase["fetch_write"] += _time.time() - t0
             if os.environ.get("GRAFT_CRAWL_DEBUG"):
@@ -360,6 +360,54 @@ def run_crawl(
         wave_counts=wave_counts,
         phase_secs={k: round(v, 2) for k, v in phase.items()},
     )
+
+
+class _FetchWriteTask:
+    """Fused fetch + span-decompose + parquet-encode + write for one batch.
+
+    Ray Data does NOT fuse the capped MapBatches(FetcherWorker) operator with
+    the Write operator here (both carry explicit concurrency), so the wide
+    interleaved span table (~12 MB per 8k-row block, ~1 GB per drain) would
+    make a full object-store round-trip between the two operators — on this
+    box's ~140 MB/s fresh-page path that inter-operator hop alone costs more
+    than fetch + encode combined. Writing inside the stage keeps each block
+    in the worker's heap from fetch to file; the stage emits only a tiny
+    (path, rows) manifest row, which also makes the output layout resumable
+    per block. Dictionary encoding and statistics are off: span text/refs are
+    high-cardinality (dictionary build is pure overhead) and the docs table
+    is scanned, not predicate-pruned, downstream.
+
+    File names are deterministic per block content (first url_hash + row
+    count — blocks partition disjoint URL sets, so the first hash is unique
+    across blocks), written tmp→rename so a re-run of a failed task can never
+    leave a torn file."""
+
+    _EMPTY = pa.table(
+        {"path": pa.array([], type=pa.string()), "rows": pa.array([], type=pa.int64())}
+    )
+
+    def __init__(self, worker: FetcherWorker, out_dir: str):
+        self.worker = worker
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = self.worker(batch)
+        n = out.num_rows
+        if n == 0:
+            return self._EMPTY
+        name = f"part-{int(out['url_hash'][0].as_py()):016x}-{n}.parquet"
+        path = os.path.join(self.out_dir, name)
+        pq.write_table(
+            out,
+            path + ".tmp",
+            compression="snappy",
+            use_dictionary=False,
+            write_statistics=False,
+        )
+        os.replace(path + ".tmp", path)
+        return pa.table({"path": [path], "rows": pa.array([n], type=pa.int64())})
 
 
 import ray as _ray
@@ -549,19 +597,19 @@ def run_frontier_drain(
     phase["drain"] += _time.time() - t0
 
     t0 = _time.time()
-    fetched_ds = rd.from_arrow_refs(all_refs).map_batches(
-        worker,
+    # fused fetch+encode+write (see _FetchWriteTask): one capped task pool
+    # does the whole memory-bound path per block; only the tiny (path, rows)
+    # manifest flows between operators
+    manifest_ds = rd.from_arrow_refs(all_refs).map_batches(
+        _FetchWriteTask(worker, docs_dir),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=fetch_concurrency,
     )
-    # cap the write operator at the same concurrency: both stages are
-    # memory-bandwidth-bound, and an uncapped write pool fans out to the full
-    # CPU budget, re-creating the page-fault contention the fetch cap avoids
-    fetched_ds.write_parquet(docs_dir, concurrency=fetch_concurrency)
+    n_written = int(manifest_ds.sum("rows") or 0)
     phase["fetch_write"] += _time.time() - t0
     if os.environ.get("GRAFT_DRAIN_STATS"):
-        print(fetched_ds.stats())
+        print(manifest_ds.stats())
 
     metrics = pa.concat_tables(ray.get([s.metrics_table.remote() for s in shards]))
     for s in shards:
@@ -569,7 +617,7 @@ def run_frontier_drain(
     res = CrawlResult(
         out_dir=out_dir,
         n_waves=t,
-        n_docs=_count_wave_rows(docs_dir),
+        n_docs=n_written,
         seen_dir="",
         metrics=metrics,
         wave_counts=wave_counts,

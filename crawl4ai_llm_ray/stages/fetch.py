@@ -90,8 +90,11 @@ class FetcherWorker:
                 d = depths[parent[link_mask]].astype(np.int32) + 1
                 self._offer_links(refs, d)
 
-        url_hash = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_id = pa.array([f"url_{h}" for h in url_hash], type=pa.string())
+        import pyarrow.compute as pc
+
+        doc_id = pc.binary_join_element_wise(
+            "url_", pc.cast(batch["url_hash"], pa.string()), ""
+        )
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
         fetched_at = pa.array(
             np.full(n, np.datetime64(now, "us")), type=pa.timestamp("us")
