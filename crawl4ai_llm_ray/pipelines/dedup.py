@@ -231,6 +231,61 @@ def _minhash_sig(sh_hashes: np.ndarray) -> np.ndarray:
     return m.min(axis=1)
 
 
+def _band_arrays(t: pa.Table, n: int):
+    """Shared band-hash computation for both LSH verify variants: one
+    vectorized shingle pass for the whole batch → per-doc 64-minhash
+    signatures (minimum.reduceat over the remixed hash matrix) → N_BANDS
+    folded band hashes per doc.
+
+    Returns ``(docs_idx, doc_ids, acc, allh, starts_all)``: indices of docs
+    with ≥1 shingle, their ids, the (ndocs, N_BANDS) uint64 band-hash matrix,
+    and the flat sorted-distinct shingle hashes with per-doc start offsets
+    (``allh[starts_all[d] : starts_all[d] + count_d]`` is doc d's list)."""
+    texts = t["text"].to_pylist()
+    di, allh = _shingle_hashes_batch(texts, n)
+    counts = np.bincount(di, minlength=t.num_rows).astype(np.int64)
+    docs_idx = np.flatnonzero(counts > 0)
+    if len(docs_idx) == 0:
+        return docs_idx, None, None, allh, None
+    starts_all = np.concatenate([[0], np.cumsum(counts)])
+    m = _remix(allh[None, :] ^ _MINHASH_SEEDS[:, None])  # (64, total)
+    sigs = np.minimum.reduceat(m, starts_all[docs_idx], axis=1).T
+    bands = sigs.reshape(len(docs_idx), N_BANDS, -1)
+    acc = np.full((len(docs_idx), N_BANDS), np.uint64(0xCBF29CE484222325))
+    for r in range(bands.shape[2]):
+        acc = _remix((acc ^ bands[:, :, r]).ravel()).reshape(acc.shape)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[docs_idx]
+    return docs_idx, doc_ids, acc, allh, starts_all
+
+
+def _doc_shingle_list(docs_idx, allh, starts_all) -> pa.ListArray:
+    """per-doc (sorted ascending, distinct) shingle-hash list<int64> for the
+    docs in docs_idx, zero-copy over the flat hash array."""
+    return pa.ListArray.from_arrays(
+        pa.array(
+            starts_all[np.concatenate([docs_idx, [docs_idx[-1] + 1]])].astype(
+                np.int32
+            )
+        ),
+        pa.array(allh.view(np.int64)),
+    )
+
+
+def _doc_shingle_blob(docs_idx, allh, starts_all) -> pa.Array:
+    """per-doc shingle-hash list packed as a large_binary blob (the raw int64
+    bytes), zero-copy via offset buffers — acero's hash join can carry
+    var-length BINARY payloads but not list columns, so the join-verify
+    variant ships blobs and ``np.frombuffer``s them back."""
+    byte_off = (
+        starts_all[np.concatenate([docs_idx, [docs_idx[-1] + 1]])] * 8
+    ).astype(np.int64)
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(docs_idx),
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(allh.tobytes())],
+    )
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     n: int = 3,
@@ -238,6 +293,7 @@ def minhash_lsh_pairs(
     n_bucket_parts: int = 32,
     n_pair_parts: int = 32,
     max_bucket: int | None = None,
+    verify: str = "carry",
 ):
     """MinHash+LSH near-dup pairs, verified with exact Jaccard — fully
     distributed (no driver-side shingle dict, no single-partition funnel):
@@ -251,13 +307,15 @@ def minhash_lsh_pairs(
       → groupby(a % n_pair_parts): drops duplicate pairs found via multiple
         bands. Rows: (doc_a, doc_b); recall vs exact asserted in tests.
 
-    Scale tradeoff (documented): carrying the shingle list multiplies band-row
-    shuffle volume by N_BANDS. The alternative — a 3-way repartition-join of
-    candidates against an exploded (doc_id, shingle) table — ships the
-    shingles twice instead of 8×, at the cost of two more shuffles; the
-    bucket-local form wins while shingle sets fit comfortably in blocks
-    (they are ~token-count-sized). Hot buckets (identical boilerplate) are
-    the LSH-inherent skew: ``max_bucket`` skips buckets above that size
+    Scale tradeoff (measured, see BASELINE.md): carrying the shingle list
+    multiplies band-row shuffle volume by N_BANDS. ``verify="join"`` is the
+    alternative — bucket rows carry NOTHING, candidate pairs come out of the
+    buckets bare and are verified by a 3-way repartition-join against a
+    one-row-per-doc shingle-list table (ships each doc's shingles ~2×
+    instead of 8×, at the cost of two extra hash-join shuffles). Both
+    variants return identical pairs (equality-tested); the default is the
+    bench winner at the tested scale. Hot buckets (identical boilerplate)
+    are the LSH-inherent skew: ``max_bucket`` skips buckets above that size
     (members of such buckets are near-identical boilerplate that exact-dedup
     should have removed first; skipped-bucket counts are printed once per
     partition so the drop is never silent). Default None = no cap."""
@@ -265,16 +323,18 @@ def minhash_lsh_pairs(
         # the vectorized bucket verify prunes co-bucket pairs sharing zero
         # shingles implicitly — only valid when they can't pass the filter
         raise ValueError("minhash_lsh_pairs requires threshold > 0")
+    if verify not in ("carry", "join"):
+        raise ValueError(f"verify must be 'carry' or 'join', got {verify!r}")
+    if verify == "join":
+        return _minhash_lsh_pairs_join(
+            sf_dir, n, threshold, n_bucket_parts, n_pair_parts, max_bucket
+        )
     ds = _read_docs(sf_dir)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        # batch-vectorized minhash: one shingle pass for the whole batch,
-        # seeded-remix into a (N_MINHASH, total) matrix, per-doc minima via
-        # minimum.reduceat, then fold each band with a vectorized remix chain
-        texts = t["text"].to_pylist()
-        di, allh = _shingle_hashes_batch(texts, n)
-        counts = np.bincount(di, minlength=t.num_rows).astype(np.int64)
-        docs_idx = np.flatnonzero(counts > 0)
+        # batch-vectorized minhash (shared _band_arrays), each band row
+        # CARRYING the doc's shingle list for the bucket-local verify
+        docs_idx, doc_ids, acc, allh, starts_all = _band_arrays(t, n)
         if len(docs_idx) == 0:
             return pa.table(
                 {
@@ -285,23 +345,12 @@ def minhash_lsh_pairs(
                     "sh": pa.array([], type=pa.list_(pa.int64())),
                 }
             )
-        starts_all = np.concatenate([[0], np.cumsum(counts)])
-        m = _remix(allh[None, :] ^ _MINHASH_SEEDS[:, None])  # (64, total)
-        sigs = np.minimum.reduceat(m, starts_all[docs_idx], axis=1).T
-        bands = sigs.reshape(len(docs_idx), N_BANDS, -1)
-        acc = np.full((len(docs_idx), N_BANDS), np.uint64(0xCBF29CE484222325))
-        for r in range(bands.shape[2]):
-            acc = _remix((acc ^ bands[:, :, r]).ravel()).reshape(acc.shape)
         # shingle-less docs are skipped entirely: they can never pass the
         # Jaccard verify, and emitting them would build one giant empty-doc
         # bucket per band
         ndocs = len(docs_idx)
-        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[docs_idx]
         # per-doc shingle list (sorted ascending), repeated once per band row
-        sh_list = pa.ListArray.from_arrays(
-            pa.array(starts_all[np.concatenate([docs_idx, [docs_idx[-1] + 1]])].astype(np.int32)),
-            pa.array(allh.view(np.int64)),
-        )
+        sh_list = _doc_shingle_list(docs_idx, allh, starts_all)
         rep = np.repeat(np.arange(ndocs, dtype=np.int64), N_BANDS)
         bhash = acc.ravel()
         bp = (
@@ -393,6 +442,212 @@ def minhash_lsh_pairs(
         )
 
     return verified.groupby("ap").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def _minhash_lsh_pairs_join(
+    sf_dir: str,
+    n: int,
+    threshold: float,
+    n_bucket_parts: int,
+    n_pair_parts: int,
+    max_bucket: int | None,
+):
+    """The shingle-shipping alternative verify for minhash_lsh_pairs
+    (``verify="join"``): band rows carry NOTHING (doc_id, band, bhash only →
+    ~32 B/row instead of shingle-list-sized), candidate pairs come out of the
+    bucket groupby bare and deduped, then exact-Jaccard verification is a
+    3-way hash join — candidates ⋈ shingle-table on a, ⋈ again on b — so each
+    doc's shingle list is shipped ~2× (once per join side it participates in)
+    instead of N_BANDS×, at the cost of two extra partitioned shuffles.
+    Returns exactly the pairs of the carry variant (equality-tested).
+
+    Join-partition note: Ray's hash join spawns one aggregator actor per
+    output partition PER join — two 32-way joins is 64 actors, which on a
+    small CPU budget starves the map tasks outright. The join width is
+    therefore sized to the runtime CPU budget (like bench.py sizes frontier
+    shards), not to n_pair_parts; on a real cluster both scale together."""
+    import ray
+
+    n_join_parts = max(
+        2, min(n_pair_parts, int(ray.cluster_resources().get("CPU", 8)))
+    )
+    ds = _read_docs(sf_dir)
+
+    def band_rows_bare(t: pa.Table) -> pa.Table:
+        docs_idx, doc_ids, acc, _, _ = _band_arrays(t, n)
+        if len(docs_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int8()),
+                    "bhash": pa.array([], type=pa.int64()),
+                    "bp": pa.array([], type=pa.int64()),
+                }
+            )
+        ndocs = len(docs_idx)
+        bhash = acc.ravel()
+        bp = (
+            _remix(bhash ^ np.tile(np.arange(N_BANDS, dtype=np.uint64), ndocs))
+            % np.uint64(n_bucket_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, N_BANDS).astype(np.int64)),
+                "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int8), ndocs)),
+                "bhash": pa.array(bhash.view(np.int64)),
+                "bp": pa.array(bp),
+            }
+        )
+
+    banded = ds.map_batches(band_rows_bare, batch_format="pyarrow")
+
+    _PAIR_EMPTY = pd.DataFrame(
+        {
+            "a": np.empty(0, np.int64),
+            "b": np.empty(0, np.int64),
+            "ap": np.empty(0, np.int64),
+        }
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # (band, bhash) groups are partition-complete under groupby("bp"):
+        # emit every in-bucket candidate pair (a < b) with one self-merge —
+        # no shingles here, the Jaccard verdict comes from the joins below
+        if not len(df):
+            return _PAIR_EMPTY
+        gid = df.groupby(["band", "bhash"], sort=False).ngroup().to_numpy()
+        sizes = np.bincount(gid)
+        ok = sizes[gid] >= 2
+        if max_bucket is not None:
+            big = sizes[gid] > max_bucket
+            nbig = len(np.unique(gid[big]))
+            if nbig:
+                print(
+                    f"minhash_lsh_pairs[join]: skipped {nbig} buckets > max_bucket={max_bucket}"
+                )
+            ok &= ~big
+        if not ok.any():
+            return _PAIR_EMPTY
+        d = pd.DataFrame({"g": gid[ok], "doc": df["doc_id"].to_numpy()[ok]})
+        m = d.merge(d, on="g")
+        m = m[m["doc_x"] < m["doc_y"]]
+        if m.empty:
+            return _PAIR_EMPTY
+        pr = m.drop_duplicates(["doc_x", "doc_y"])
+        a = pr["doc_x"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"a": a, "b": pr["doc_y"].to_numpy().astype(np.int64), "ap": a % n_pair_parts}
+        )
+
+    def dedup_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        # same pair found via several buckets/partitions → keep one
+        g = df.drop_duplicates(["a", "b"])
+        return pd.DataFrame(
+            {
+                "a": g["a"].to_numpy(dtype=np.int64),
+                "b": g["b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    cands = (
+        banded.groupby("bp")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("ap")
+        .map_groups(dedup_candidates, batch_format="pandas")
+    )
+
+    def shingle_rows(side: str):
+        # one row per doc: (doc_id, sh_<side>: large_binary blob of the int64
+        # shingle hashes, n<side>) — built per join side so post-join column
+        # names never collide; blobs because acero joins reject list payloads
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            di, allh = _shingle_hashes_batch(texts, n)
+            counts = np.bincount(di, minlength=t.num_rows).astype(np.int64)
+            docs_idx = np.flatnonzero(counts > 0)
+            if len(docs_idx) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        f"sh_{side}": pa.array([], type=pa.large_binary()),
+                        f"n{side}": pa.array([], type=pa.int64()),
+                    }
+                )
+            starts_all = np.concatenate([[0], np.cumsum(counts)])
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        t["doc_id"].to_numpy(zero_copy_only=False)[docs_idx].astype(np.int64)
+                    ),
+                    f"sh_{side}": _doc_shingle_blob(docs_idx, allh, starts_all),
+                    f"n{side}": pa.array(counts[docs_idx]),
+                }
+            )
+
+        return fn
+
+    sh_a = ds.map_batches(shingle_rows("a"), batch_format="pyarrow")
+    sh_b = ds.map_batches(shingle_rows("b"), batch_format="pyarrow")
+
+    joined = (
+        cands.join(
+            sh_a,
+            join_type="inner",
+            num_partitions=n_join_parts,
+            on=("a",),
+            right_on=("doc_id",),
+        )
+        .join(
+            sh_b,
+            join_type="inner",
+            num_partitions=n_join_parts,
+            on=("b",),
+            right_on=("doc_id",),
+        )
+    )
+
+    _OUT_EMPTY = pd.DataFrame(
+        {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # batch-vectorized exact Jaccard: decode both carried blobs back to
+        # flat int64 arrays, explode with the pair row index, inner-merge on
+        # (row, shingle) → one grouped count gives every pair's intersection
+        # (shingle lists are distinct per doc)
+        if not len(df):
+            return _OUT_EMPTY
+        sha = df["sh_a"].to_numpy()
+        shb = df["sh_b"].to_numpy()
+        la = np.fromiter((len(s) for s in sha), np.int64, len(sha)) // 8
+        lb = np.fromiter((len(s) for s in shb), np.int64, len(shb)) // 8
+        da = pd.DataFrame(
+            {
+                "r": np.repeat(np.arange(len(df)), la),
+                "sh": np.frombuffer(b"".join(sha), dtype=np.int64),
+            }
+        )
+        db = pd.DataFrame(
+            {
+                "r": np.repeat(np.arange(len(df)), lb),
+                "sh": np.frombuffer(b"".join(shb), dtype=np.int64),
+            }
+        )
+        inter = da.merge(db, on=["r", "sh"]).groupby("r").size()
+        iv = np.zeros(len(df), np.float64)
+        iv[inter.index.to_numpy()] = inter.to_numpy()
+        union = df["na"].to_numpy() + df["nb"].to_numpy() - iv
+        keep = iv / union >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": df["a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": df["b"].to_numpy()[keep].astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(
+        verify, batch_format="pandas", batch_size=4096
+    ).select_columns(["doc_a", "doc_b"])
 
 
 # ----------------------------------------------------------------- SimHash

@@ -49,6 +49,28 @@ def test_minhash_recall_vs_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_join_verify_equals_carry():
+    """The shingle-shipping verify variants must be interchangeable: the
+    3-way-join verify (band rows bare, blobs joined in) returns exactly the
+    pairs of the default carried-list bucket-local verify."""
+    from crawl4ai_llm_ray.pipelines import dedup
+
+    carry = (
+        _df(dedup.minhash_lsh_pairs(SF))
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    join = (
+        _df(dedup.minhash_lsh_pairs(SF, verify="join"))
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(carry, join)
+    with pytest.raises(ValueError, match="verify"):
+        dedup.minhash_lsh_pairs(SF, verify="bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_embed_lsh_recall_vs_brute_force():
     from crawl4ai_llm_ray.pipelines import dedup
 
