@@ -23,6 +23,7 @@ from crawl4ai_llm_ray.pipelines import (
     relational,
     relational2,
     relational3,
+    relational4,
     text,
 )
 
@@ -108,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,               # (rolling_fingerprint)
         "dedup_exact_prefix": dedup.dedup_exact_prefix,        # D1 (dedup_exact_text)
         "dedup_clusters_exact": dedup.dedup_clusters_exact,    # (dedup_clusters)
+        # --- round-3 additions: the two time-join shapes Ray Data lacks
+        #     natively (§2.9 extensions; ASOF + banded range join) ---
+        "asof_join": relational4.asof_join,
+        "range_join_count": relational4.range_join_count,
     }
 
 
@@ -827,5 +832,37 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id DESC LIMIT 10
+        """,
+        # as-of: latest click at-or-before each purchase per user; the window
+        # replay (last_value IGNORE NULLS over the union, clicks ordered
+        # before purchases at equal ts, max event_id on ts ties) is the exact
+        # spec the engine's per-user forward-fill implements
+        "asof_join": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+                       FROM events WHERE event_type IN ('click', 'purchase')),
+            w AS (SELECT *,
+                         last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+                             OVER ord AS click_id,
+                         last_value(CASE WHEN is_p = 0 THEN ts_us END IGNORE NULLS)
+                             OVER ord AS click_ts
+                  FROM e
+                  WINDOW ord AS (PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+                                 ROWS UNBOUNDED PRECEDING))
+            SELECT event_id AS purchase_id, user_id, click_id,
+                   (ts_us - click_ts)::BIGINT AS gap_us
+            FROM w WHERE is_p = 1 AND click_id IS NOT NULL
+        """,
+        # range join: events by the same user strictly before each error and
+        # within the preceding 24 h (the banded-bucket equality shuffle in the
+        # engine computes exactly this left-join count)
+        "range_join_count": """
+            SELECT e.event_id, e.user_id, count(b.event_id)::BIGINT AS n_win
+            FROM events e LEFT JOIN events b
+              ON e.user_id = b.user_id
+             AND epoch_us(b.ts) < epoch_us(e.ts)
+             AND epoch_us(b.ts) >= epoch_us(e.ts) - 86400000000
+            WHERE e.event_type = 'error'
+            GROUP BY e.event_id, e.user_id
         """,
     }

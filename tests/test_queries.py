@@ -49,6 +49,45 @@ def test_minhash_recall_vs_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_time_joins():
+    """as-of join + banded range join over events, checked against a direct
+    pandas replay of the spec (the DuckDB oracle runs in check_correctness)."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import relational4
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts_us"] = ev["ts"].astype("int64")
+
+    asof = _df(relational4.asof_join(SF)).sort_values("purchase_id").reset_index(drop=True)
+    assert (asof["gap_us"] >= 0).all()
+    # pandas replay: merge purchases × clicks, keep latest (ts, event_id) ≤
+    p = ev[ev["event_type"] == "purchase"]
+    c = ev[ev["event_type"] == "click"]
+    m = p.merge(c, on="user_id", suffixes=("", "_c"))
+    m = m[m["ts_us_c"] <= m["ts_us"]]
+    m = m.sort_values(["event_id", "ts_us_c", "event_id_c"]).groupby("event_id").last()
+    expect = m.reset_index()[["event_id", "user_id", "event_id_c"]].rename(
+        columns={"event_id": "purchase_id", "event_id_c": "click_id"}
+    ).sort_values("purchase_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        asof[["purchase_id", "user_id", "click_id"]].astype("int64"),
+        expect.astype("int64"),
+    )
+
+    W = 86400 * 1_000_000
+    rng = _df(relational4.range_join_count(SF)).sort_values("event_id").reset_index(drop=True)
+    e = ev[ev["event_type"] == "error"]
+    assert len(rng) == len(e)  # zero-count errors preserved
+    me = e.merge(ev, on="user_id", suffixes=("", "_b"))
+    me = me[(me["ts_us_b"] < me["ts_us"]) & (me["ts_us_b"] >= me["ts_us"] - W)]
+    cnt = me.groupby("event_id").size()
+    expect_n = pd.Series(e["event_id"].to_numpy()).map(cnt).fillna(0).astype("int64")
+    got = rng.set_index("event_id")["n_win"]
+    assert (got.reindex(e["event_id"].to_numpy()).to_numpy() == expect_n.to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_minhash_join_verify_equals_carry():
     """The shingle-shipping verify variants must be interchangeable: the
     3-way-join verify (band rows bare, blobs joined in) returns exactly the
