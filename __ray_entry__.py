@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     natively (§2.9 extensions; ASOF + banded range join) ---
         "asof_join": relational4.asof_join,
         "range_join_count": relational4.range_join_count,
+        "pivot_orders": relational4.pivot_orders,
+        "rollup_orders": relational4.rollup_orders,
     }
 
 
@@ -864,5 +866,23 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) >= epoch_us(e.ts) - 86400000000
             WHERE e.event_type = 'error'
             GROUP BY e.event_id, e.user_id
+        """,
+        "pivot_orders": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS sum_F,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS sum_O,
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS sum_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_orders": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
     }

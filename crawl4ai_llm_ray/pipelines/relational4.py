@@ -171,3 +171,95 @@ def range_join_count(sf_dir: str, window_s: int = 86400, n_parts: int = 32):
         .groupby("kp")
         .map_groups(count_in_window, batch_format="pandas")
     )
+
+
+_STATUSES = ("F", "O", "P")
+
+
+def pivot_orders(sf_dir: str):
+    """PIVOT: order counts and totals per priority, widened by status into
+    (o_orderpriority, n_F, n_O, n_P, sum_F, sum_O, sum_P). Pivot over a
+    known small category set is conditional aggregation — each batch emits
+    one partial row per priority with per-status sums (vectorized crosstab),
+    and the dimension-sized finalize sums partials (`final_agg`); the
+    category list is part of the operator spec, never discovered at runtime
+    (a discovery pass would be a full extra read at 100 TB)."""
+    from ..functions.agg import final_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.groupby(["o_orderpriority", "o_orderstatus"])["o_totalprice"].agg(
+            ["size", "sum"]
+        )
+        n = piv["size"].unstack(fill_value=0).reindex(columns=_STATUSES, fill_value=0)
+        s = piv["sum"].unstack(fill_value=0.0).reindex(columns=_STATUSES, fill_value=0.0)
+        out = pd.DataFrame({"o_orderpriority": n.index})
+        for st in _STATUSES:
+            out[f"n_{st}"] = n[st].to_numpy().astype(np.int64)
+            out[f"sum_{st}"] = s[st].to_numpy()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        for st in _STATUSES:
+            g[f"sum_{st}"] = g[f"sum_{st}"].round(2)
+        return g
+
+    return final_agg(
+        partials,
+        keys=["o_orderpriority"],
+        sums={
+            c: c
+            for st in _STATUSES
+            for c in (f"n_{st}", f"sum_{st}")
+        },
+        finalize=finalize,
+    )
+
+
+def rollup_orders(sf_dir: str):
+    """ROLLUP / grouping sets: (priority, status) detail + per-priority
+    subtotal + grand total in one result, NULL grouping levels encoded as
+    'ALL' (sentinel, not NULL — keeps the result hashable and
+    oracle-comparable). One combiner pass builds (priority, status) partials;
+    the finalize derives all three grouping levels from those partials with
+    plain pandas — the wide data is read once, the rollup itself runs on
+    dimension-sized rows."""
+    from ..functions.agg import final_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def finalize(base: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = base.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), total=("total", "sum")
+        )
+        lvl1["o_orderstatus"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {
+                "o_orderpriority": ["ALL"],
+                "o_orderstatus": ["ALL"],
+                "n": [base["n"].sum()],
+                "total": [base["total"].sum()],
+            }
+        )
+        out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["total"] = out["total"].round(2)
+        return out[["o_orderpriority", "o_orderstatus", "n", "total"]]
+
+    return final_agg(
+        partials,
+        keys=["o_orderpriority", "o_orderstatus"],
+        sums={"n": "n", "total": "total"},
+        finalize=finalize,
+    )

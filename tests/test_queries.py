@@ -88,6 +88,28 @@ def test_time_joins():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pivot_rollup_consistency():
+    """pivot and rollup must agree with each other and with the raw table."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import relational4
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    piv = _df(relational4.pivot_orders(SF))
+    assert int(piv[["n_F", "n_O", "n_P"]].to_numpy().sum()) == len(orders)
+    ru = _df(relational4.rollup_orders(SF))
+    grand = ru[(ru["o_orderpriority"] == "ALL") & (ru["o_orderstatus"] == "ALL")]
+    assert int(grand["n"].iloc[0]) == len(orders)
+    detail = ru[(ru["o_orderpriority"] != "ALL") & (ru["o_orderstatus"] != "ALL")]
+    assert int(detail["n"].sum()) == len(orders)
+    assert abs(float(detail["total"].sum()) - float(grand["total"].iloc[0])) < 0.1
+    # pivot row == rollup subtotal row per priority
+    sub = ru[(ru["o_orderpriority"] != "ALL") & (ru["o_orderstatus"] == "ALL")]
+    m = piv.merge(sub, on="o_orderpriority")
+    assert (m["n_F"] + m["n_O"] + m["n_P"] == m["n"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_minhash_join_verify_equals_carry():
     """The shingle-shipping verify variants must be interchangeable: the
     3-way-join verify (band rows bare, blobs joined in) returns exactly the
