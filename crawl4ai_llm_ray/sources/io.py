@@ -28,7 +28,12 @@ except ImportError:
     HAVE_LANCE = False
 
 
+_FORMATS = ("auto", "lance", "parquet", "ipc", "csv")
+
+
 def storage_format(requested: str = "auto") -> str:
+    if requested not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {requested!r}")
     if requested == "auto":
         return "lance" if HAVE_LANCE else "parquet"
     if requested == "lance" and not HAVE_LANCE:
@@ -37,11 +42,18 @@ def storage_format(requested: str = "auto") -> str:
 
 
 def write_dataset(ds, path: str, format: str = "auto", **kwargs):
-    """Write a ray.data.Dataset as a Lance dataset (when available) or a
-    parquet fragment directory (resumable layout either way)."""
+    """Write a ray.data.Dataset as a Lance dataset (when available), a
+    parquet fragment directory (resumable layout either way), an Arrow-IPC
+    fragment directory (``format="ipc"`` — the zero-copy interchange format,
+    cheapest encode for shuffle-to-disk intermediates), or CSV
+    (``format="csv"`` — interop export only; no types, no compression)."""
     fmt = storage_format(format)
     if fmt == "lance":
         ds.write_lance(path, **kwargs)
+    elif fmt == "ipc":
+        _write_ipc(ds, path)
+    elif fmt == "csv":
+        ds.write_csv(path, **kwargs)
     else:
         ds.write_parquet(path, **kwargs)
     return path
@@ -53,7 +65,62 @@ def read_dataset(path: str, format: str = "auto", columns=None, **kwargs):
     fmt = storage_format(format)
     if fmt == "lance" and os.path.exists(os.path.join(path, "_versions")):
         return rd.read_lance(path, columns=columns, **kwargs)
+    if fmt == "ipc":
+        return _read_ipc(path, columns=columns)
+    if fmt == "csv":
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+# --------------------------------------------------- Arrow IPC fragment dirs
+def _write_ipc(ds, path: str):
+    """One ``part-*.arrow`` IPC file per block, written inside the map task
+    (the same fused write-in-stage pattern as the crawl drain sink — no extra
+    object-store hop) with tmp→rename atomicity; the returned manifest is
+    tiny (path, rows)."""
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import uuid
+
+        name = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        tmp = name + ".tmp"
+        with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t)
+        os.replace(tmp, name)
+        return pa.table({"path": [name], "rows": [t.num_rows]})
+
+    return ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+def _read_ipc(path: str, columns=None):
+    """Fragment-parallel IPC read: the driver lists paths only; each task
+    memory-maps its files (zero-copy into Arrow buffers) and projects
+    ``columns`` before the data enters the object store."""
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(path, n) for n in os.listdir(path) if n.endswith(".arrow")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .arrow fragments under {path}")
+
+    def load(t: pa.Table) -> pa.Table:
+        tables = []
+        for p in t["path"].to_pylist():
+            with pa.memory_map(p, "r") as src:
+                tbl = pa.ipc.open_file(src).read_all()
+            if columns:
+                tbl = tbl.select(columns)
+            tables.append(tbl)
+        return pa.concat_tables(tables)
+
+    return rd.from_items([{"path": p} for p in files]).map_batches(
+        load, batch_format="pyarrow", batch_size=1
+    )
 
 
 # ------------------------------------------------------- JSON compat codec

@@ -63,6 +63,33 @@ def test_format_switch_roundtrip(tmp_path):
     assert back.count() == 100
     with pytest.raises(RuntimeError):
         eio.storage_format("lance")
+    with pytest.raises(ValueError):
+        eio.storage_format("bogus")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ipc_and_csv_roundtrip(tmp_path):
+    """documents through the Arrow-IPC and CSV backends: same rows back,
+    column projection at the IPC read."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n = ds.count()
+
+    ipc_path = str(tmp_path / "ipc")
+    eio.write_dataset(ds, ipc_path, format="ipc")
+    back = eio.read_dataset(ipc_path, format="ipc").to_pandas()
+    orig = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(orig, back)
+    proj = eio.read_dataset(ipc_path, format="ipc", columns=["doc_id"])
+    assert proj.schema().names == ["doc_id"] and proj.count() == n
+
+    csv_path = str(tmp_path / "csv")
+    # CSV chokes on embedded newlines-by-default text; export ids only
+    eio.write_dataset(ds.select_columns(["doc_id"]), csv_path, format="csv")
+    back_csv = eio.read_dataset(csv_path, format="csv").to_pandas()
+    assert sorted(back_csv["doc_id"]) == sorted(orig["doc_id"])
 
 
 @pytest.mark.usefixtures("ray_session")
