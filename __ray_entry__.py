@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_count": relational4.range_join_count,
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
+        "approx_quantiles_hist": relational4.approx_quantiles_hist,
     }
 
 
@@ -884,5 +885,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        # histogram-sketch quantiles: bin formula, ceil(q*n) pick and
+        # lower-edge decode replayed in exact lockstep with the engine
+        "approx_quantiles_hist": """
+            WITH mm AS (SELECT o_orderpriority, min(o_totalprice) AS mn,
+                               max(o_totalprice) AS mx
+                        FROM orders GROUP BY 1),
+            b AS (SELECT o.o_orderpriority,
+                         CASE WHEN mx = mn THEN 0
+                              ELSE CAST(LEAST(1023, FLOOR((o_totalprice - mn)
+                                   / (mx - mn) * 1024)) AS BIGINT)
+                         END AS bin
+                  FROM orders o JOIN mm USING (o_orderpriority)),
+            h AS (SELECT o_orderpriority, bin, count(*)::BIGINT AS c
+                  FROM b GROUP BY 1, 2),
+            c AS (SELECT o_orderpriority, bin,
+                         sum(c) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY bin) AS cum,
+                         sum(c) OVER (PARTITION BY o_orderpriority) AS n
+                  FROM h),
+            p AS (SELECT o_orderpriority,
+                         min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+                         min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS b90
+                  FROM c GROUP BY 1)
+            SELECT p.o_orderpriority,
+                   round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
+                   round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
+            FROM p JOIN mm USING (o_orderpriority)
         """,
     }

@@ -22,24 +22,27 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def asof_join(sf_dir: str):
+def asof_join(sf_dir: str, bucket_us: int | None = None):
     """AS-OF join: for each ``purchase`` event, the most recent ``click`` by
     the same user at-or-before it (ties on ts broken by max event_id), inner —
     purchases with no prior click are dropped. Returns
     (purchase_id, user_id, click_id, gap_us), all int64.
 
-    Shape: both sides reduce to narrow (user_id, ts_us, event_id, is_p) rows
-    in one map_batches, union arrives for free (one filtered read), then ONE
-    ``groupby(user_id).map_groups`` does the merge: sort the group by
-    (ts_us, is_p, event_id) — clicks sort before purchases at equal ts, so a
-    vectorized forward-fill of the click columns IS the as-of semantics.
+    Shape (default): both sides reduce to narrow (user_id, ts_us, event_id,
+    is_p) rows in one map_batches, union arrives for free (one filtered
+    read), then ONE ``groupby(user_id).map_groups`` does the merge: sort the
+    group by (ts_us, is_p, event_id) — clicks sort before purchases at equal
+    ts, so a vectorized forward-fill of the click columns IS the as-of
+    semantics.
 
-    Partitioning assumption (documented per the brief): the equality key
-    (user_id) co-partitions both sides — the Ray groupby is the one shuffle,
-    and each user's full history must fit in a worker's heap for the in-group
-    sort. At 100 TB with pathological hot keys: range-partition time within
-    the key and stitch with per-boundary carry state (one row per partition —
-    the last click before the boundary)."""
+    Partitioning assumption: the equality key (user_id) co-partitions both
+    sides — the Ray groupby is the one shuffle, and each user's full history
+    must fit in a worker's heap for the in-group sort. For pathological hot
+    keys at 100 TB pass ``bucket_us``: the segmented-scan variant partitions
+    each key's timeline into fixed time buckets (equality-tested against the
+    default path) so no task ever holds a whole hot user."""
+    if bucket_us is not None:
+        return _asof_join_bucketed(sf_dir, bucket_us)
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
 
     def narrow(df: pd.DataFrame) -> pd.DataFrame:
@@ -90,6 +93,194 @@ def asof_join(sf_dir: str):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+def _asof_join_bucketed(sf_dir: str, bucket_us: int, n_parts: int = 32):
+    """The hot-key escape for asof_join — a distributed SEGMENTED SCAN:
+
+    pass 1 (heavy, (key, time-bucket)-partitioned): forward-fill clicks
+      within each (user, tb = ts_us // bucket_us) cell; purchases matched
+      in-cell are done. Each cell also emits ONE summary row (its last click)
+      and its still-unmatched purchases.
+    pass 2 (light, key-partitioned): only summaries + unmatched purchases —
+      a per-user vectorized searchsorted maps each unmatched purchase to the
+      last click of the latest earlier bucket. The per-user reduction handles
+      O(buckets + misses) rows, not the full history, which is what makes a
+      hot key safe: the heavy sort/ffill never sees more than one time
+      bucket of one user at a time.
+
+    Exactly equal to the default path (equality-tested): any in-cell click
+    at-or-before the purchase wins in pass 1; otherwise every earlier-bucket
+    click has strictly smaller ts, so the latest earlier summary IS the
+    as-of match."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def narrow(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("click", "purchase"))]
+        ts = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        tb = ts // bucket_us
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "ts_us": ts,
+                "event_id": df["event_id"].to_numpy().astype(np.int64),
+                "is_p": (df["event_type"] == "purchase").to_numpy().astype(np.int8),
+                "tb": tb,
+                "kp": (uid * np.int64(1_000_003) + tb) % n_parts,
+            }
+        )
+
+    _P1_EMPTY = pd.DataFrame(
+        {
+            "user_id": np.empty(0, np.int64),
+            "tb": np.empty(0, np.int64),
+            "purchase_id": np.empty(0, np.int64),
+            "ts_us": np.empty(0, np.int64),
+            "click_id": np.empty(0, np.int64),
+            "click_ts": np.empty(0, np.int64),
+            "tag": np.empty(0, np.int8),  # 0=matched 1=unmatched 2=summary
+        }
+    )
+
+    def scan_cells(df: pd.DataFrame) -> pd.DataFrame:
+        # all (user, tb) cells of one partition, vectorized together:
+        # pandas groupby.ffill does the per-cell forward fill in one pass
+        if not len(df):
+            return _P1_EMPTY
+        df = df.sort_values(["user_id", "tb", "ts_us", "is_p", "event_id"])
+        is_click = df["is_p"].to_numpy() == 0
+        cid = (
+            pd.Series(np.where(is_click, df["event_id"].to_numpy(), -1), index=df.index)
+            .replace(-1, np.nan)
+            .groupby([df["user_id"], df["tb"]], sort=False)
+            .ffill()
+        )
+        cts = (
+            pd.Series(np.where(is_click, df["ts_us"].to_numpy(), -1), index=df.index)
+            .replace(-1, np.nan)
+            .groupby([df["user_id"], df["tb"]], sort=False)
+            .ffill()
+        )
+        is_p = ~is_click
+        matched = is_p & cid.notna().to_numpy()
+        unmatched = is_p & ~cid.notna().to_numpy()
+        parts = []
+        if matched.any():
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": df["user_id"].to_numpy()[matched],
+                        "tb": df["tb"].to_numpy()[matched],
+                        "purchase_id": df["event_id"].to_numpy()[matched],
+                        "ts_us": df["ts_us"].to_numpy()[matched],
+                        "click_id": cid.to_numpy()[matched].astype(np.int64),
+                        "click_ts": cts.to_numpy()[matched].astype(np.int64),
+                        "tag": np.int8(0),
+                    }
+                )
+            )
+        if unmatched.any():
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": df["user_id"].to_numpy()[unmatched],
+                        "tb": df["tb"].to_numpy()[unmatched],
+                        "purchase_id": df["event_id"].to_numpy()[unmatched],
+                        "ts_us": df["ts_us"].to_numpy()[unmatched],
+                        "click_id": np.int64(-1),
+                        "click_ts": np.int64(-1),
+                        "tag": np.int8(1),
+                    }
+                )
+            )
+        # one summary per cell that contains any click: its LAST click
+        # (cells are sorted, so 'last' under the as-of order is correct)
+        cl = df[is_click]
+        if len(cl):
+            s = cl.groupby(["user_id", "tb"], sort=False, as_index=False).last()
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": s["user_id"].to_numpy(),
+                        "tb": s["tb"].to_numpy(),
+                        "purchase_id": np.int64(-1),
+                        "ts_us": s["ts_us"].to_numpy(),
+                        "click_id": s["event_id"].to_numpy(),
+                        "click_ts": s["ts_us"].to_numpy(),
+                        "tag": np.int8(2),
+                    }
+                )
+            )
+        if not parts:
+            return _P1_EMPTY
+        return pd.concat(parts, ignore_index=True)
+
+    # materialize once: two consumers below (matched pass-through + boundary
+    # resolution) would otherwise each re-execute the heavy scan; the scanned
+    # rows are result-sized (purchases + one summary per cell), not input-sized
+    scanned = (
+        ds.map_batches(narrow, batch_format="pandas")
+        .groupby("kp")
+        .map_groups(scan_cells, batch_format="pandas")
+        .materialize()
+    )
+
+    _OUT_EMPTY = pd.DataFrame(
+        {
+            "purchase_id": np.empty(0, np.int64),
+            "user_id": np.empty(0, np.int64),
+            "click_id": np.empty(0, np.int64),
+            "gap_us": np.empty(0, np.int64),
+        }
+    )
+
+    def emit_matched(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["tag"] == 0]
+        if not len(m):
+            return _OUT_EMPTY
+        return pd.DataFrame(
+            {
+                "purchase_id": m["purchase_id"].to_numpy(),
+                "user_id": m["user_id"].to_numpy(),
+                "click_id": m["click_id"].to_numpy(),
+                "gap_us": (m["ts_us"] - m["click_ts"]).to_numpy(),
+            }
+        )
+
+    def resolve_boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        # one user's summaries + unmatched purchases (tiny): latest earlier
+        # bucket's last click via searchsorted over the sorted summary tbs
+        um = df[df["tag"] == 1]
+        if not len(um):
+            return _OUT_EMPTY
+        sm = df[df["tag"] == 2].sort_values("tb")
+        if not len(sm):
+            return _OUT_EMPTY
+        stb = sm["tb"].to_numpy()
+        idx = np.searchsorted(stb, um["tb"].to_numpy(), side="left") - 1
+        ok = idx >= 0
+        if not ok.any():
+            return _OUT_EMPTY
+        idx = idx[ok]
+        return pd.DataFrame(
+            {
+                "purchase_id": um["purchase_id"].to_numpy()[ok],
+                "user_id": um["user_id"].to_numpy()[ok],
+                "click_id": sm["click_id"].to_numpy()[idx],
+                "gap_us": um["ts_us"].to_numpy()[ok] - sm["click_ts"].to_numpy()[idx],
+            }
+        )
+
+    matched = scanned.map_batches(emit_matched, batch_format="pandas")
+    boundary = (
+        scanned.map_batches(
+            lambda df: df[df["tag"] != 0], batch_format="pandas"
+        )
+        .groupby("user_id")
+        .map_groups(resolve_boundaries, batch_format="pandas")
+    )
+    return matched.union(boundary)
 
 
 def range_join_count(sf_dir: str, window_s: int = 86400, n_parts: int = 32):
@@ -170,6 +361,91 @@ def range_join_count(sf_dir: str, window_s: int = 86400, n_parts: int = 32):
         ds.map_batches(explode, batch_format="pandas")
         .groupby("kp")
         .map_groups(count_in_window, batch_format="pandas")
+    )
+
+
+def approx_quantiles_hist(
+    sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9), n_bins: int = 1024
+):
+    """Approximate per-group quantiles via fixed-grid histograms — the
+    documented 100 TB path for ``quantiles_per_group`` (exact quantiles are
+    not combinable; histogram counts are, and unlike t-digest/KLL the merge
+    is ORDER-INDEPENDENT, which is what makes this sketch bit-deterministic
+    and therefore SQL-oracle-checkable).
+
+    Two passes: (1) per-group min/max (combiner partials, dimension-sized
+    finalize); (2) per-batch bincounts on the fixed [mn, mx] grid, summed by
+    ``final_agg``, finalized to the LOWER EDGE of the first bin whose
+    cumulative count reaches ceil(q·n). Error ≤ one bin width = (mx-mn)/1024
+    (asserted vs the exact operator in tests). Returns
+    (o_orderpriority, p50_hist, p90_hist) rounded to 4 decimals."""
+    from ..functions.agg import final_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False)["o_totalprice"].agg(
+            ["min", "max"]
+        )
+        return g.rename(columns={"min": "mn", "max": "mx"})
+
+    def mm_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max")
+        )
+
+    grid = (
+        ds.map_batches(mm_partial, batch_format="pandas", batch_size=65536)
+        .repartition(1)
+        .map_batches(mm_final, batch_format="pandas", batch_size=None)
+        .to_pandas()  # dimension-sized (one row per group) — driver-safe
+    )
+    mn = dict(zip(grid["o_orderpriority"], grid["mn"]))
+    mx = dict(zip(grid["o_orderpriority"], grid["mx"]))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for key, sub in df.groupby("o_orderpriority", sort=False):
+            lo, hi = mn[key], mx[key]
+            v = sub["o_totalprice"].to_numpy()
+            if hi == lo:
+                idx = np.zeros(len(v), np.int64)
+            else:
+                # formula kept in EXACT lockstep with the SQL twin
+                idx = np.minimum(
+                    n_bins - 1, np.floor((v - lo) / (hi - lo) * n_bins)
+                ).astype(np.int64)
+            cnt = np.bincount(idx, minlength=n_bins)
+            nz = np.flatnonzero(cnt)
+            parts.append(
+                pd.DataFrame(
+                    {"o_orderpriority": key, "bin": nz, "c": cnt[nz].astype(np.int64)}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    partials = ds.map_batches(hist_partial, batch_format="pandas", batch_size=65536)
+
+    def finalize(h: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in h.groupby("o_orderpriority"):
+            sub = sub.sort_values("bin")
+            cum = sub["c"].cumsum().to_numpy()
+            n = cum[-1]
+            lo, hi = mn[key], mx[key]
+            row = {"o_orderpriority": key}
+            for q in qs:
+                i = int(np.searchsorted(cum, np.ceil(q * n)))
+                b = int(sub["bin"].to_numpy()[i])
+                row[f"p{int(q * 100)}_hist"] = round(lo + b * (hi - lo) / n_bins, 4)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return final_agg(
+        partials,
+        keys=["o_orderpriority", "bin"],
+        sums={"c": "c"},
+        finalize=finalize,
     )
 
 

@@ -88,6 +88,47 @@ def test_time_joins():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_asof_bucketed_equals_default():
+    """The segmented-scan (hot-key) as-of variant must equal the per-key
+    scan for any bucket width — including one that splits users' histories
+    across many cells (7 h) and one aligned to days."""
+    from crawl4ai_llm_ray.pipelines import relational4
+
+    base = (
+        _df(relational4.asof_join(SF)).sort_values("purchase_id").reset_index(drop=True)
+    )
+    for b_us in (86_400 * 1_000_000, 7 * 3600 * 1_000_000):
+        got = (
+            _df(relational4.asof_join(SF, bucket_us=b_us))
+            .sort_values("purchase_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, got[base.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hist_quantiles_within_bin_width_of_exact():
+    """The mergeable histogram sketch must land within one bin width of the
+    exact per-group quantiles."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import relational3, relational4
+
+    approx = _df(relational4.approx_quantiles_hist(SF)).set_index("o_orderpriority")
+    exact = _df(relational3.quantiles_per_group(SF)).set_index("o_orderpriority")
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    width = (
+        orders.groupby("o_orderpriority")["o_totalprice"].agg(lambda v: (v.max() - v.min()) / 1024)
+    )
+    for key in exact.index:
+        for p in ("p50", "p90"):
+            assert abs(approx.loc[key, f"{p}_hist"] - exact.loc[key, p]) <= width[key] + 1e-9, (
+                key,
+                p,
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pivot_rollup_consistency():
     """pivot and rollup must agree with each other and with the raw table."""
     import pyarrow.parquet as pq
