@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_derivation": relational.key_derivation,          # M1
         "broadcast_join_agg": relational.broadcast_join_agg,  # star join
         "window_tumbling": relational.window_tumbling,        # §2.9
-        "count_group": relational.count_group,                # A1
+        "asof_join": relational4.asof_join,                   # §2.9 as-of (novel shape — in-window; count_group, its A1 near-dup of agg_q1, moved to the tail)
         "json_filter": relational.json_filter,                # M4 dot-notation
         "join_3way_topk": relational2.join_3way_topk,
         "having_filter": relational2.having_filter,
@@ -109,9 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,               # (rolling_fingerprint)
         "dedup_exact_prefix": dedup.dedup_exact_prefix,        # D1 (dedup_exact_text)
         "dedup_clusters_exact": dedup.dedup_clusters_exact,    # (dedup_clusters)
-        # --- round-3 additions: the two time-join shapes Ray Data lacks
-        #     natively (§2.9 extensions; ASOF + banded range join) ---
-        "asof_join": relational4.asof_join,
+        # --- round-3 additions: time joins (asof_join sits in-window above),
+        #     pivot/rollup, histogram-sketch quantiles ---
+        "count_group": relational.count_group,                # A1 (agg_q1)
         "range_join_count": relational4.range_join_count,
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,

@@ -50,7 +50,7 @@ def asof_join(sf_dir: str, bucket_us: int | None = None):
         return pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy(),
-                "ts_us": df["ts"].astype("int64").to_numpy(),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
                 "event_id": df["event_id"].to_numpy(),
                 "is_p": (df["event_type"] == "purchase").to_numpy().astype(np.int8),
             }
@@ -117,7 +117,7 @@ def _asof_join_bucketed(sf_dir: str, bucket_us: int, n_parts: int = 32):
 
     def narrow(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"].isin(("click", "purchase"))]
-        ts = df["ts"].astype("int64").to_numpy()
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()  # unit-robust (ns or us storage)
         uid = df["user_id"].to_numpy().astype(np.int64)
         tb = ts // bucket_us
         return pd.DataFrame(
@@ -306,7 +306,7 @@ def range_join_count(sf_dir: str, window_s: int = 86400, n_parts: int = 32):
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         uid = df["user_id"].to_numpy().astype(np.int64)
-        ts = df["ts"].astype("int64").to_numpy()
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()  # unit-robust (ns or us storage)
         eid = df["event_id"].to_numpy().astype(np.int64)
         b = ts // W_us
         is_err = (df["event_type"] == "error").to_numpy()

@@ -107,6 +107,43 @@ def test_asof_bucketed_equals_default():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_asof_tie_semantics(tmp_path):
+    """Hand-built ties (the corpus never produces them): a click at the SAME
+    instant as a purchase matches (≤ semantics); equal-ts clicks resolve to
+    the max event_id; both paths agree."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import relational4
+
+    t0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [t0, t0, t0, t0 + pd.Timedelta(hours=1), t0 + pd.Timedelta(hours=2), t0 + pd.Timedelta(hours=2)],
+            "user_id": [7, 7, 7, 7, 7, 7],
+            # two clicks tied at t0 (ids 1,2) + a purchase at t0 (id 3);
+            # purchase at +2h tied with a click at +2h (ids 5=click, 6=purchase)
+            "event_type": ["click", "click", "purchase", "purchase", "click", "purchase"],
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), str(tmp_path / "events.parquet"))
+    for kwargs in ({}, {"bucket_us": 30 * 60 * 1_000_000}):
+        got = (
+            _df(relational4.asof_join(str(tmp_path), **kwargs))
+            .sort_values("purchase_id")
+            .reset_index(drop=True)
+        )
+        # purchase 3 at t0: tied clicks 1,2 are ≤ → max event_id 2 wins, gap 0
+        # purchase 4 at +1h: latest click is 2 (t0)
+        # purchase 6 at +2h: click 5 at the same instant wins, gap 0
+        assert got["purchase_id"].tolist() == [3, 4, 6]
+        assert got["click_id"].tolist() == [2, 2, 5]
+        assert got["gap_us"].tolist() == [0, 3600 * 1_000_000, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hist_quantiles_within_bin_width_of_exact():
     """The mergeable histogram sketch must land within one bin width of the
     exact per-group quantiles."""
