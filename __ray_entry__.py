@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     pivot/rollup, histogram-sketch quantiles ---
         "count_group": relational.count_group,                # A1 (agg_q1)
         "range_join_count": relational4.range_join_count,
+        "crawl_curation": crawl_queries.crawl_curation,       # fetch→decompose→curate composition
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
@@ -534,6 +535,34 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN en >= fr THEN 'en' ELSE 'fr' END AS lang_pred
                   FROM S),
             surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT l.doc_id, n_tokens, stop_ratio, lang_pred
+            FROM L l JOIN surv USING (doc_id)
+            WHERE n_tokens >= 30 AND stop_ratio <= 0.2 AND lang_pred = 'en'
+        """,
+        # crawl→curation composition: per-doc text = text-kind spans joined
+        # in span order, then the exact corpus_curation replay over that
+        # derived table (same signals, same lexicographic-min dedup survivor)
+        "crawl_curation": f"""
+            WITH SP AS (SELECT doc_id, unnest(spans) AS s FROM {crawl_docs}),
+            AGG AS (SELECT doc_id, string_agg(s.text, ' ' ORDER BY s."offset") AS text
+                    FROM SP WHERE s.kind = 'text' GROUP BY doc_id),
+            D AS (SELECT c.doc_id, COALESCE(a.text, '') AS text
+                  FROM {crawl_docs} c LEFT JOIN AGG a USING (doc_id)),
+            T AS (SELECT doc_id, {toks} AS tks, text FROM D),
+            S AS (SELECT doc_id,
+                         len(tks)::BIGINT AS n_tokens,
+                         CASE WHEN len(tks) > 0
+                              THEN len(list_filter(tks, x -> x IN {stop_list}))::DOUBLE / len(tks)
+                              ELSE 0.0 END AS stop_ratio,
+                         len(list_filter(tks, x -> x IN ('der','die','das'))) AS de,
+                         len(list_filter(tks, x -> x IN ('the','a','of'))) AS en,
+                         len(list_filter(tks, x -> x IN ('le','la','de'))) AS fr
+                  FROM T),
+            L AS (SELECT *, CASE WHEN de = 0 AND en = 0 AND fr = 0 THEN 'unk'
+                                 WHEN de >= en AND de >= fr THEN 'de'
+                                 WHEN en >= fr THEN 'en' ELSE 'fr' END AS lang_pred
+                  FROM S),
+            surv AS (SELECT min(doc_id) AS doc_id FROM D GROUP BY text)
             SELECT l.doc_id, n_tokens, stop_ratio, lang_pred
             FROM L l JOIN surv USING (doc_id)
             WHERE n_tokens >= 30 AND stop_ratio <= 0.2 AND lang_pred = 'en'

@@ -151,6 +151,41 @@ def crawl_span_explode(sf_dir: str = ""):
     return read_docs(out).map_batches(explode, batch_format="pyarrow")
 
 
+def crawl_curation(sf_dir: str = ""):
+    """The crawl→curation composition: crawled interleaved docs → per-doc
+    plain text (text-kind spans joined in span order, fully vectorized:
+    filtered ListArray rebuild + one pc.binary_join per batch) → the shared
+    curation pass (quality signals + language ID + exact-dedup survivors +
+    threshold). This is the end-to-end training-data shape the engine exists
+    for: fetch → decompose → curate, every stage streaming and the
+    composition oracle-checked against a full SQL replay."""
+    import pyarrow.compute as pc
+
+    from .text import curation_over
+
+    out = ensure_crawl()
+
+    def doc_text(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices().to_numpy(zero_copy_only=False)
+        vals = spans.values
+        is_text = pc.equal(vals.field("kind"), "text").to_numpy(zero_copy_only=False)
+        texts = vals.field("text").filter(pa.array(is_text))
+        counts = np.bincount(parent[is_text], minlength=t.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), texts), " "
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": joined})
+
+    docs = read_docs(out).select_columns(["doc_id", "spans"]).map_batches(
+        doc_text, batch_format="pyarrow"
+    )
+    return curation_over(docs).sort("doc_id")
+
+
 def crawl_metrics(sf_dir: str = ""):
     """Per-partition/per-wave frontier metrics (offered/admitted/deduped/
     robots_blocked/fetched) — the north_rule lineage+metrics artifact."""

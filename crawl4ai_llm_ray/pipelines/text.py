@@ -149,8 +149,22 @@ def corpus_curation(
     Scale shape: signals never leave their batch; the join ships only
     (doc_id, 3 narrow columns) × (doc_id) — no text moves after the first
     pass."""
-    from .dedup import dedup_exact_text
+    return curation_over(
+        _read_docs(sf_dir), min_tokens, max_stop_ratio, lang, num_partitions
+    )
 
+
+def curation_over(
+    docs,
+    min_tokens: int = 30,
+    max_stop_ratio: float = 0.2,
+    lang: str = "en",
+    num_partitions: int = 8,
+):
+    """corpus_curation over ANY (doc_id, text) Dataset — shared by the
+    documents-table query and the crawl→curation composition (crawled docs'
+    doc_id is a string key; the exact-dedup survivor is min doc_id per
+    content, computed with the same narrow content-hash groupby)."""
     def signals(t: pa.Table) -> pa.Table:
         low = pc.utf8_lower(t["text"])
         n_tok = pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
@@ -184,8 +198,31 @@ def corpus_curation(
             }
         )
 
-    sigs = _read_docs(sf_dir).map_batches(signals, batch_format="pyarrow")
-    survivors = dedup_exact_text(sf_dir)  # (doc_id) = min id per content
+    sigs = docs.map_batches(signals, batch_format="pyarrow")
+
+    def content_key(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64
+
+        k = fnv1a64(t["text"])
+        return pa.table(
+            {
+                "k": pa.array(k.view(np.int64)),
+                "kp": pa.array((k % np.uint64(num_partitions)).astype(np.int64)),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    def min_per_part(df) -> "pd.DataFrame":
+        # content-hash groups are partition-complete under kp; one vectorized
+        # pandas min per partition. min works for int64 AND string doc_ids
+        # (lexicographic, like SQL min(varchar))
+        return df.groupby("k", as_index=False)["doc_id"].min()[["doc_id"]]
+
+    survivors = (
+        docs.map_batches(content_key, batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(min_per_part, batch_format="pandas")
+    )
     joined = sigs.join(
         survivors,
         join_type="inner",

@@ -107,6 +107,22 @@ def test_asof_bucketed_equals_default():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_curation_composition():
+    """fetch→decompose→curate: curated rows are a subset of crawled docs and
+    satisfy every threshold (full value equality vs SQL runs in
+    check_correctness)."""
+    from crawl4ai_llm_ray.pipelines import crawl_queries
+
+    cur = _df(crawl_queries.crawl_curation())
+    assert len(cur) > 0
+    assert (cur["n_tokens"] >= 30).all()
+    assert (cur["stop_ratio"] <= 0.2).all()
+    assert (cur["lang_pred"] == "en").all()
+    docs = set(_df(crawl_queries.crawl_interleaved_docs())["doc_id"])
+    assert set(cur["doc_id"]).issubset(docs)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_asof_tie_semantics(tmp_path):
     """Hand-built ties (the corpus never produces them): a click at the SAME
     instant as a purchase matches (≤ semantics); equal-ts clicks resolve to
