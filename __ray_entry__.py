@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_group": relational.count_group,                # A1 (agg_q1)
         "range_join_count": relational4.range_join_count,
         "crawl_curation": crawl_queries.crawl_curation,       # fetch→decompose→curate composition
+        "stratified_sample": relational4.stratified_sample,
+        "shared_passage_pairs": text.shared_passage_pairs,    # winnowing passage dedup
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
@@ -250,6 +252,26 @@ def _text_embeddings_sql() -> str:
         SELECT d.doc_id,
                COALESCE(emb.embedding, [{zeros}]::FLOAT[]) AS embedding
         FROM documents d LEFT JOIN emb USING (doc_id)
+    """
+
+
+def _stratified_sample_sql(seed: int = 11) -> str:
+    """SQL twin of relational4.stratified_sample: per-class thresholds and
+    the seed remix computed HERE with the same numpy path and inlined."""
+    import numpy as np
+
+    from crawl4ai_llm_ray.pipelines.relational4 import _STRATA
+    from crawl4ai_llm_ray.state.bloom import _remix
+
+    seed_u = int(_remix(np.array([seed], dtype=np.uint64))[0])
+    cases = " ".join(
+        f"WHEN '{c}' THEN {min(int(f * 2.0**64), 2**64 - 1)}::UBIGINT"
+        for c, f in sorted(_STRATA.items())
+    )
+    key = _remix_sql(f"xor(event_id::UBIGINT, {seed_u}::UBIGINT)")
+    return f"""
+        SELECT event_id, event_type FROM events
+        WHERE {key} < CASE event_type {cases} ELSE 0::UBIGINT END
     """
 
 
@@ -575,6 +597,29 @@ def oracle_sql() -> dict[str, str]:
         # fraction=0.1, seed=7): keep iff remix(fnv(text) ^ remix(seed)) <
         # fraction*2^64 — the remix/FNV chain replayed exactly in SQL
         "random_sample": _random_sample_sql(),
+        # winnowing replay: positional 4-gram FNV hashes → sliding-window-8
+        # min (window fully inside the doc: p >= 8) → distinct selected
+        # fingerprints → self-join pair counts ≥ 2
+        "shared_passage_pairs": f"""
+            WITH T AS (SELECT doc_id, {toks} AS t FROM documents),
+            sh AS (SELECT doc_id, list_transform(range(1, len(t)-2),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]) AS s
+                   FROM T WHERE len(t) >= 4),
+            pos AS (SELECT doc_id, unnest(s) AS g,
+                           unnest(range(1, len(s)+1)) AS p FROM sh),
+            hp AS (SELECT doc_id, p, ({_fnv_sql("g")})::UBIGINT AS h FROM pos),
+            w AS (SELECT doc_id, p,
+                         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m
+                  FROM hp),
+            sel AS (SELECT DISTINCT doc_id, m FROM w WHERE p >= 8),
+            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*)::BIGINT AS n_shared
+                   FROM sel a JOIN sel b ON a.m = b.m AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= 2
+        """,
+        "stratified_sample": _stratified_sample_sql(),
         "dedup_exact_text": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,

@@ -52,13 +52,12 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return fnv1a64(pa.array(sh, type=pa.string()))
 
 
-def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct n-gram shingle hashes for a whole batch of texts in one
-    vectorized pass: tokenize per doc (C regex), build all n-grams with Arrow
-    take+join over the flattened token stream, hash once, dedup per doc.
-
-    Returns (doc_idx, hashes): flat arrays sorted by (doc_idx, hash), one row
-    per DISTINCT shingle per doc. ~5x faster than per-doc hashing."""
+def _shingle_hashes_positional(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """n-gram shingle hashes IN POSITION ORDER for a whole batch: tokenize
+    per doc (C regex), build all n-grams with Arrow take+join over the
+    flattened token stream, hash once. Returns (doc_idx, hashes) flat and
+    position-ordered per doc, one row per shingle OCCURRENCE (the winnowing
+    family needs the rolling sequence; the dedup family dedups below)."""
     import itertools
 
     toks = [_TOKEN_RE.findall(t.lower()) for t in texts]
@@ -75,7 +74,18 @@ def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     g = starts[tri_doc] + local
     cols = [flat.take(pa.array(g + k)) for k in range(n)]
     tri = pc.binary_join_element_wise(*cols, " ")
-    h = fnv1a64(tri)
+    return tri_doc, fnv1a64(tri)
+
+
+def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct n-gram shingle hashes for a whole batch of texts in one
+    vectorized pass (positional pass + per-doc dedup).
+
+    Returns (doc_idx, hashes): flat arrays sorted by (doc_idx, hash), one row
+    per DISTINCT shingle per doc. ~5x faster than per-doc hashing."""
+    tri_doc, h = _shingle_hashes_positional(texts, n)
+    if len(h) == 0:
+        return tri_doc, h
     order = np.lexsort((h, tri_doc))
     td, hs = tri_doc[order], h[order]
     first = np.ones(len(order), dtype=bool)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -362,6 +363,43 @@ def range_join_count(sf_dir: str, window_s: int = 86400, n_parts: int = 32):
         .groupby("kp")
         .map_groups(count_in_window, batch_format="pandas")
     )
+
+
+_STRATA = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
+
+
+def stratified_sample(sf_dir: str, fractions: dict | None = None, seed: int = 11):
+    """Stratified (per-class) sampling — the corpus-rebalancing op: keep an
+    event iff ``remix(event_id XOR remix(seed)) < fraction[class] * 2^64``.
+    Same deterministic hash-threshold spec as random_sample (reproducible
+    across engines, cluster sizes and batchings — no RNG streams), but with a
+    class-dependent threshold looked up VECTORIZED via ``pc.index_in`` codes,
+    so rebalancing a skewed class mix costs one remix pass and no shuffle at
+    all. Returns (event_id, event_type). SQL-oracle-checked."""
+    import pyarrow.compute as pc
+
+    from ..state.bloom import _remix
+
+    fractions = fractions or _STRATA
+    classes = sorted(fractions)
+    thr = np.array(
+        [min(int(fractions[c] * 2.0**64), 2**64 - 1) for c in classes],
+        dtype=np.uint64,
+    )
+    seed_u = _remix(np.array([seed], dtype=np.uint64))[0]
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = _remix(t["event_id"].to_numpy().astype(np.uint64) ^ seed_u)
+        codes = pc.index_in(t["event_type"], pa.array(classes)).to_numpy(
+            zero_copy_only=False
+        )
+        known = codes >= 0  # classes outside the plan are dropped
+        row_thr = np.zeros(len(keys), dtype=np.uint64)
+        row_thr[known] = thr[codes[known].astype(np.int64)]
+        return t.filter(pa.array(keys < row_thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def approx_quantiles_hist(

@@ -243,6 +243,114 @@ def curation_over(
     return joined.map_batches(threshold, batch_format="pyarrow")
 
 
+def shared_passage_pairs(
+    sf_dir: str,
+    n: int = 4,
+    window: int = 8,
+    min_shared: int = 2,
+    n_fp_parts: int = 32,
+    n_pair_parts: int = 32,
+    max_fp_df: int | None = None,
+):
+    """Passage-level near-dup pairs via WINNOWING (the RefinedWeb-style
+    duplicated-passage detector): per doc, the rolling 4-gram hash sequence →
+    sliding-window (w=8) minima → the DISTINCT selected fingerprints; any two
+    docs sharing ≥ ``min_shared`` fingerprints are emitted as
+    (doc_a, doc_b, n_shared). A shared passage of ≥ window+n-1 tokens
+    guarantees a shared fingerprint, so long copied passages are caught even
+    when whole-doc similarity is low — the complement of minhash_lsh_pairs.
+
+    Scale shape (the ngram_jaccard partial-emit pattern over a ~w× SPARSER
+    row set): explode (fp, doc) → groupby(fp % P) partition-complete pair
+    partials → groupby(a % P) sums + threshold. Fingerprint document
+    frequency is the skew axis: ``max_fp_df`` drops boilerplate fingerprints
+    above the cap (exact within partition, logged, like max_shingle_df).
+    Window minima are computed batch-wide with ONE sliding_window_view over
+    the flattened hash stream (windows crossing doc boundaries masked out).
+    SQL-oracle-checked (window min + self-join replay)."""
+    from .dedup import _shingle_hashes_positional
+
+    def fingerprints(df: pd.DataFrame) -> pd.DataFrame:
+        tri_doc, h = _shingle_hashes_positional(df["text"].tolist(), n)
+        if len(h) < window:
+            return pd.DataFrame(
+                {
+                    "fp": np.empty(0, np.int64),
+                    "doc_id": np.empty(0, np.int64),
+                    "part": np.empty(0, np.int64),
+                }
+            )
+        sw = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        ok = tri_doc[: len(sw)] == tri_doc[window - 1 :]  # window inside one doc
+        sel_doc = tri_doc[: len(sw)][ok]
+        sel_val = sw[ok]
+        # distinct (doc, fp)
+        order = np.lexsort((sel_val, sel_doc))
+        d, v = sel_doc[order], sel_val[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        d, v = d[first], v[first]
+        return pd.DataFrame(
+            {
+                "fp": v.astype(np.int64),
+                "doc_id": df["doc_id"].to_numpy()[d],
+                "part": (v % np.uint64(n_fp_parts)).astype(np.int64),
+            }
+        )
+
+    exploded = _read_docs(sf_dir).map_batches(fingerprints, batch_format="pandas")
+
+    _PART_EMPTY = pd.DataFrame(
+        {
+            "a": np.empty(0, np.int64),
+            "b": np.empty(0, np.int64),
+            "c": np.empty(0, np.int64),
+            "ap": np.empty(0, np.int64),
+        }
+    )
+
+    def emit_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if max_fp_df is not None:
+            big = df.groupby("fp")["fp"].transform("size") > max_fp_df
+            if big.any():
+                print(
+                    f"shared_passage_pairs: dropped {df[big]['fp'].nunique()} "
+                    f"fingerprints > max_fp_df={max_fp_df}"
+                )
+            df = df[~big]
+        m = df.merge(df, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return _PART_EMPTY
+        g = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        a = g["doc_id_x"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "a": a,
+                "b": g["doc_id_y"].to_numpy().astype(np.int64),
+                "c": g["size"].to_numpy().astype(np.int64),
+                "ap": a % n_pair_parts,
+            }
+        )
+
+    partials = exploded.groupby("part").map_groups(
+        emit_partials, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False)["c"].sum()
+        g = g[g["c"] >= min_shared]
+        return pd.DataFrame(
+            {
+                "doc_a": g["a"].to_numpy(),
+                "doc_b": g["b"].to_numpy(),
+                "n_shared": g["c"].to_numpy(),
+            }
+        )
+
+    return partials.groupby("ap").map_groups(finalize, batch_format="pandas")
+
+
 def random_sample(sf_dir: str, fraction: float = 0.1, seed: int = 7):
     """Seeded random sample via the hash-threshold spec: keep a doc iff
     ``remix(fnv1a64(text) XOR remix(seed)) < fraction * 2^64`` — the

@@ -107,6 +107,32 @@ def test_asof_bucketed_equals_default():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_shared_passage_pairs_detects_copied_passage(tmp_path):
+    """Two docs sharing one long copied passage (low whole-doc similarity)
+    must pair; an unrelated doc must not."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines.text import shared_passage_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog near the old stone bridge every morning"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta " + passage + " epsilon zeta eta theta",
+                "one two three four five six seven " + passage + " eight nine ten",
+                "completely different words with no overlap whatsoever in this entire document at all here",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), str(tmp_path / "documents.parquet"))
+    pairs = _df(shared_passage_pairs(str(tmp_path)))
+    assert len(pairs) == 1
+    assert (pairs.iloc[0]["doc_a"], pairs.iloc[0]["doc_b"]) == (1, 2)
+    assert pairs.iloc[0]["n_shared"] >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_crawl_curation_composition():
     """fetch→decompose→curate: curated rows are a subset of crawled docs and
     satisfy every threshold (full value equality vs SQL runs in
