@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curation": crawl_queries.crawl_curation,       # fetch→decompose→curate composition
         "stratified_sample": relational4.stratified_sample,
         "shared_passage_pairs": text.shared_passage_pairs,    # winnowing passage dedup
+        "left_join_counts": relational4.left_join_counts,     # left-outer + zero-fill
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
@@ -941,6 +942,15 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) >= epoch_us(e.ts) - 86400000000
             WHERE e.event_type = 'error'
             GROUP BY e.event_id, e.user_id
+        """,
+        "left_join_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(o.n, 0)::BIGINT AS n_orders,
+                   round(COALESCE(o.t, 0), 2) AS total_spent
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS t
+                FROM orders GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
         """,
         "pivot_orders": """
             SELECT o_orderpriority,

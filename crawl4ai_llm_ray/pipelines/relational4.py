@@ -365,6 +365,60 @@ def range_join_count(sf_dir: str, window_s: int = 86400, n_parts: int = 32):
     )
 
 
+def left_join_counts(sf_dir: str, n_agg_parts: int = 16):
+    """LEFT OUTER join with zero-fill: every customer with their order count
+    and total spend, INCLUDING customers with no orders — the join type the
+    rest of the suite doesn't exercise (semi/anti/inner/broadcast live in
+    relational.py). The orders side is pre-aggregated to one narrow row per
+    customer (combiner partials → partitioned vectorized sum) BEFORE the
+    join, so the shuffle joins key-sized tables, not raw orders; the join
+    width is sized to the CPU budget (hash-join aggregator actors are one
+    per partition — see minhash_lsh_pairs[join] note)."""
+    import ray
+
+    n_join_parts = max(2, min(n_agg_parts, int(ray.cluster_resources().get("CPU", 8))))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n=("o_totalprice", "size"), t=("o_totalprice", "sum")
+        )
+        g["kp"] = g["o_custkey"] % n_agg_parts
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            n=("n", "sum"), t=("t", "sum")
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("kp")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=n_join_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(),
+                "c_mktsegment": df["c_mktsegment"].to_numpy(),
+                "n_orders": df["n"].fillna(0).to_numpy().astype(np.int64),
+                "total_spent": df["t"].fillna(0.0).round(2).to_numpy(),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 _STRATA = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
 
 

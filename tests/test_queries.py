@@ -107,6 +107,27 @@ def test_asof_bucketed_equals_default():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_left_join_zero_fill(tmp_path):
+    """The corpus has no order-less customers, so the left-outer zero-fill
+    branch needs a constructed case."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines.relational4 import left_join_counts
+
+    pq.write_table(
+        pa.table({"c_custkey": [1, 2, 3], "c_mktsegment": ["A", "B", "A"]}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_custkey": [1, 1, 3], "o_totalprice": [10.0, 5.0, 2.5]}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = _df(left_join_counts(str(tmp_path))).sort_values("c_custkey").reset_index(drop=True)
+    assert got["n_orders"].tolist() == [2, 0, 1]
+    assert got["total_spent"].tolist() == [15.0, 0.0, 2.5]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shared_passage_pairs_detects_copied_passage(tmp_path):
     """Two docs sharing one long copied passage (low whole-doc similarity)
     must pair; an unrelated doc must not."""
