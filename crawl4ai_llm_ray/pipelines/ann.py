@@ -175,3 +175,169 @@ def ann_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_cells: int =
         .sort(["cos", "vec_id"], descending=[True, True])
         .limit(k)
     )
+
+
+# ------------------------------------------------- product quantization (PQ)
+# (sf_dir, m, ncent) → (codes_dir, codebooks): one persisted code table per
+# corpus per process, like the IVF cache
+_PQ_CACHE: dict[tuple, tuple[str, np.ndarray]] = {}
+
+
+def build_pq_index(
+    sf_dir: str,
+    m_subs: int = 8,
+    n_centroids: int = 16,
+    train_cap: int = 4096,
+    index_dir: str | None = None,
+):
+    """Train PQ codebooks and encode the corpus — the memory-side scale path
+    for ANN (a 64-dim float64 vector becomes ``m_subs`` uint8 codes: 64× less
+    state to scan than the raw matrix; at 10^9 vectors the code table is the
+    thing that fits in RAM).
+
+    Deterministic end to end so tests are exact: training sample = vec_id
+    stride (dataset-side filter, ≤ ``train_cap`` rows reach the driver),
+    codebook init = first ``n_centroids`` sample rows per subspace, 5 fixed
+    Lloyd iterations (empty cells keep their previous centroid). Encoding is
+    a broadcast-codebook ``map_batches`` (one (b, ncent, sub) distance tensor
+    per batch, argmin over centroids); codes persist as narrow parquet
+    (vec_id, m uint8 codes as binary)."""
+    import os
+    import tempfile
+
+    import ray
+    import ray.data as rd
+
+    key = (sf_dir, m_subs, n_centroids)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    step = max(1, n_rows // train_cap)
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # stride sample (vec_id % step == 0) — the driver keeps ≤ cap rows
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    sample = list_col_to_matrix(tbl["embedding"].filter(pa.array(ids % step == 0)))
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    d = sample.shape[1]
+    assert d % m_subs == 0, (d, m_subs)
+    sub_d = d // m_subs
+    books = np.empty((m_subs, n_centroids, sub_d))
+    for mi in range(m_subs):
+        X = sample[:, mi * sub_d : (mi + 1) * sub_d]
+        C = X[:n_centroids].copy()
+        for _ in range(5):  # fixed Lloyd iterations, deterministic
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                pts = X[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[mi] = C
+
+    if index_dir is None:
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"pq_index_{abs(hash(key)) % 10**10}",
+        )
+    codes_dir = os.path.join(index_dir, "codes")
+    books_ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        M = list_col_to_matrix(t["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        n = len(M)
+        codes = np.empty((n, m_subs), dtype=np.uint8)
+        for mi in range(m_subs):
+            X = M[:, mi * sub_d : (mi + 1) * sub_d]
+            d2 = ((X[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+        blob = pa.Array.from_buffers(
+            pa.binary(m_subs), n, [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({"vec_id": t["vec_id"], "codes": blob})
+
+    if not os.path.isdir(codes_dir):
+        ds = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ds.map_batches(encode, batch_format="pyarrow").write_parquet(codes_dir)
+    _PQ_CACHE[key] = (codes_dir, books)
+    return codes_dir, books
+
+
+def ann_pq_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m_subs: int = 8,
+    n_centroids: int = 16,
+    refine: int = 64,
+):
+    """PQ top-k with exact re-rank: scan the uint8 CODE table (not the
+    vectors) with an asymmetric-distance lookup table — per batch the score
+    is ``m_subs`` table gathers + a sum, no matmul, no float vectors in
+    flight — keep the global top-``refine`` candidates, then re-rank ONLY
+    those against their true embeddings (a pushed-down point read) for exact
+    cosines. Approximation lives solely in candidate selection; returned
+    scores are exact. Recall vs the brute-force baseline is asserted in
+    tests (rows-only — the Lloyd iterations are not SQL-expressible)."""
+    import ray
+    import ray.data as rd
+
+    codes_dir, books = build_pq_index(sf_dir, m_subs, n_centroids)
+    q = _query_vector(sf_dir, query_vec_id)
+    sub_d = books.shape[2]
+    # ADC lookup table: lut[m, c] = q_sub · centroid  (cosine decomposes over
+    # subspaces for unit-normalized stored vectors approximated by centroids)
+    lut = np.einsum(
+        "mcd,md->mc", books, q.reshape(m_subs, sub_d)
+    )
+    lut_ref = ray.put(lut)
+
+    ds = rd.read_parquet(codes_dir, columns=["vec_id", "codes"])
+
+    def approx(t: pa.Table) -> pa.Table:
+        L = ray.get(lut_ref)
+        col = t["codes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.frombuffer(
+            col.buffers()[-1], dtype=np.uint8, count=len(col) * m_subs
+        ).reshape(-1, m_subs)
+        score = L[np.arange(m_subs)[None, :], codes].sum(axis=1)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids != query_vec_id
+        ids, score = ids[keep], score[keep]
+        if len(score) > refine:
+            part = np.argpartition(-score, refine)[:refine]
+            ids, score = ids[part], score[part]
+        return pa.table({"vec_id": pa.array(ids), "s": pa.array(score)})
+
+    cands = (
+        ds.map_batches(approx, batch_format="pyarrow", batch_size=65536)
+        .sort(["s", "vec_id"], descending=[True, True])
+        .limit(refine)
+        .to_pandas()["vec_id"]
+        .to_numpy()
+    )  # refine ids only — driver-small by construction
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(x) for x in cands])],
+    )
+    M = list_col_to_matrix(tbl["embedding"])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = M @ q
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-ids, -cos))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order]),
+            "cos": pa.array(np.round(cos[order], 4)),
+        }
+    )

@@ -306,6 +306,23 @@ def test_ann_ivf_recall():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ann_pq_recall_and_exact_rerank():
+    """PQ code-scan + exact re-rank: decent recall vs brute force, and every
+    returned score is the EXACT cosine (approximation only selects
+    candidates, never scores)."""
+    from crawl4ai_llm_ray.pipelines import ann
+
+    brute = _df(ann.ann_topk(SF, query_vec_id=0, k=10))
+    pqr = _df(ann.ann_pq_topk(SF, query_vec_id=0, k=10))
+    inter = set(brute["vec_id"]) & set(pqr["vec_id"])
+    assert len(inter) >= 7  # measured 0.80 deterministic; margin for regen
+    bm = brute.set_index("vec_id")["cos"]
+    pm = pqr.set_index("vec_id")["cos"]
+    for v in inter:
+        assert abs(float(bm[v]) - float(pm[v])) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_properties():
     from crawl4ai_llm_ray.pipelines.dedup import simhash
     import ray.data as rd
