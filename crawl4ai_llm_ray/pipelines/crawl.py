@@ -105,6 +105,7 @@ def run_crawl(
     salted_hosts: dict[str, int] | None = None,
     wave_dir_template: str = "wave_{wave:05d}",
     fetch_fn=None,
+    extra_seed_urls: list[str] | None = None,
 ) -> CrawlResult:
     """Run (or resume) the crawl. Ray must already be initialised.
 
@@ -112,7 +113,12 @@ def run_crawl(
     ``{wave...}`` field) — the engine analog of the reference's
     ``filename_template`` storage option. ``fetch_fn`` swaps the transport
     (default: deterministic synthetic web; stages/http_fetch.HttpFetchFn for
-    real HTTP)."""
+    real HTTP). ``extra_seed_urls`` (resume only) injects NEW seeds into a
+    restored frontier at depth 0 — the continuous-crawl path: already-seen
+    URLs dedupe against the restored seen set, new ones join the next wave's
+    priority drain; the final fetched-URL set equals a from-scratch crawl of
+    the union seed list (fetched-SET order-independence is the engine's
+    determinism invariant — asserted in test_crawl_parity)."""
     import re as _re
 
     import ray
@@ -143,6 +149,11 @@ def run_crawl(
     if resume and os.path.exists(_manifest_path(out_dir)):
         with open(_manifest_path(out_dir)) as f:
             manifest = json.load(f)
+    if extra_seed_urls and manifest is None:
+        raise ValueError(
+            "extra_seed_urls requires resume=True over an existing checkpoint "
+            "(fresh runs take their seeds from cfg)"
+        )
 
     if manifest is None:
         # fresh (non-resume) start into a possibly-dirty out_dir: wipe stale
@@ -196,6 +207,30 @@ def run_crawl(
             m = wave_re.match(name)
             if name.startswith(".tmp_") or (m and int(m.group(1)) >= start_wave):
                 shutil.rmtree(os.path.join(docs_dir, name), ignore_errors=True)
+        if extra_seed_urls:
+            # continuous crawl: new depth-0 seeds into the restored frontier,
+            # through the same canonicalize+route+offer path as fresh seeds
+            # (the restored seen set dedupes re-offered URLs)
+            from ..schema import SEED_SCHEMA
+
+            extra = pa.table(
+                {
+                    "url": pa.array(extra_seed_urls, type=pa.string()),
+                    "priority": np.ones(len(extra_seed_urls), dtype=np.float32),
+                    "depth": np.zeros(len(extra_seed_urls), dtype=np.int32),
+                },
+                schema=SEED_SCHEMA,
+            )
+            new_seeds = canonicalize_batch(
+                extra, n_partitions, salted_hosts=salted_hosts
+            )
+            pid = new_seeds["partition_id"].to_numpy(zero_copy_only=False)
+            ray.get(
+                [
+                    shards[int(p)].offer.remote(new_seeds.filter(pa.array(pid == p)))
+                    for p in np.unique(pid)
+                ]
+            )
 
     import time as _time
 

@@ -224,3 +224,45 @@ def test_resume_equivalence(ray_session, tmp_path, golden):
         )
     )
     assert got == golden["order"]
+
+
+def test_incremental_crawl_extra_seeds(ray_session, tmp_path):
+    """Continuous crawl: resume a checkpointed crawl with NEW seeds; the
+    final fetched-URL set and seen set must equal a from-scratch crawl whose
+    seed list covers the union (the fetched SET is order-independent —
+    injection wave only changes ordering, never membership)."""
+    from crawl4ai_llm_ray.pipelines.crawl import run_crawl
+
+    extra = [CFG.url(i, 0) for i in range(CFG.n_seeds, CFG.n_seeds + 3)]
+
+    out_inc = str(tmp_path / "inc")
+    run_crawl(CFG, out_inc, n_partitions=NPART, fetch_concurrency=2,
+              max_waves=2, expected_urls_per_shard=2048)
+    inc = run_crawl(CFG, out_inc, n_partitions=NPART, fetch_concurrency=2,
+                    resume=True, expected_urls_per_shard=2048,
+                    extra_seed_urls=extra)
+
+    # union baseline: same corpus, seeds = CFG's plus the 3 extra hosts
+    # (seed n_seeds=9 covers exactly those page-0 urls; messy variants
+    # canonicalize onto the same pages, so the fetched SET is unaffected)
+    from dataclasses import replace
+
+    cfg_union = replace(CFG, n_seeds=CFG.n_seeds + 3)
+    out_union = str(tmp_path / "union")
+    uni = run_crawl(cfg_union, out_union, n_partitions=NPART,
+                    fetch_concurrency=2, expected_urls_per_shard=2048)
+
+    inc_urls = sorted(_engine_docs(out_inc))
+    uni_urls = sorted(_engine_docs(out_union))
+    assert inc_urls == uni_urls
+    assert sorted(inc.seen_hashes.tolist()) == sorted(uni.seen_hashes.tolist())
+    # span content per URL is url-deterministic — must match too
+    inc_docs, uni_docs = _engine_docs(out_inc), _engine_docs(out_union)
+    assert inc_docs == uni_docs
+
+    # guard: extra seeds on a fresh (non-resume) run is an error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="extra_seed_urls"):
+        run_crawl(CFG, str(tmp_path / "fresh"), n_partitions=NPART,
+                  extra_seed_urls=["http://h000.test/p/0"])
