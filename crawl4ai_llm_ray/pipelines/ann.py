@@ -238,10 +238,9 @@ def build_pq_index(
         books[mi] = C
 
     if index_dir is None:
-        index_dir = os.path.join(
-            tempfile.gettempdir(),
-            f"pq_index_{abs(hash(key)) % 10**10}",
-        )
+        # per-process temp dir (like build_ivf_index): no fixed shared path →
+        # no cross-process write race, no stale codes after corpus regen
+        index_dir = tempfile.mkdtemp(prefix="pq_index_")
     codes_dir = os.path.join(index_dir, "codes")
     books_ref = ray.put(books)
 
@@ -260,11 +259,10 @@ def build_pq_index(
         )
         return pa.table({"vec_id": t["vec_id"], "codes": blob})
 
-    if not os.path.isdir(codes_dir):
-        ds = rd.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        ds.map_batches(encode, batch_format="pyarrow").write_parquet(codes_dir)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(codes_dir)
     _PQ_CACHE[key] = (codes_dir, books)
     return codes_dir, books
 
