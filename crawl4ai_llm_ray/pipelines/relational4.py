@@ -67,25 +67,24 @@ def asof_join(sf_dir: str, bucket_us: int | None = None):
     )
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # positional forward-fill: running max of the last click's row index
+        # (pure int — exact for full-range int64 ids, no NaN float round-trip)
         g = g.sort_values(["ts_us", "is_p", "event_id"])
         is_click = g["is_p"].to_numpy() == 0
-        cid = pd.Series(np.where(is_click, g["event_id"].to_numpy(), -1)).replace(
-            -1, np.nan
-        ).ffill()
-        cts = pd.Series(np.where(is_click, g["ts_us"].to_numpy(), -1)).replace(
-            -1, np.nan
-        ).ffill()
-        take = (~is_click) & cid.notna().to_numpy()
+        pos = np.arange(len(g))
+        last = np.maximum.accumulate(np.where(is_click, pos, -1))
+        take = (~is_click) & (last >= 0)
         if not take.any():
             return _EMPTY
+        eid = g["event_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        src = last[take]
         return pd.DataFrame(
             {
-                "purchase_id": g["event_id"].to_numpy()[take].astype(np.int64),
+                "purchase_id": eid[take].astype(np.int64),
                 "user_id": g["user_id"].to_numpy()[take].astype(np.int64),
-                "click_id": cid.to_numpy()[take].astype(np.int64),
-                "gap_us": (g["ts_us"].to_numpy()[take] - cts.to_numpy()[take]).astype(
-                    np.int64
-                ),
+                "click_id": eid[src].astype(np.int64),
+                "gap_us": (ts[take] - ts[src]).astype(np.int64),
             }
         )
 
@@ -151,21 +150,18 @@ def _asof_join_bucketed(sf_dir: str, bucket_us: int, n_parts: int = 32):
             return _P1_EMPTY
         df = df.sort_values(["user_id", "tb", "ts_us", "is_p", "event_id"])
         is_click = df["is_p"].to_numpy() == 0
-        cid = (
-            pd.Series(np.where(is_click, df["event_id"].to_numpy(), -1), index=df.index)
-            .replace(-1, np.nan)
-            .groupby([df["user_id"], df["tb"]], sort=False)
-            .ffill()
-        )
-        cts = (
-            pd.Series(np.where(is_click, df["ts_us"].to_numpy(), -1), index=df.index)
-            .replace(-1, np.nan)
-            .groupby([df["user_id"], df["tb"]], sort=False)
-            .ffill()
+        # per-cell positional forward-fill: grouped running max of the last
+        # click's row index (int-exact, one C pass via groupby.cummax)
+        pos = np.arange(len(df))
+        last = (
+            pd.Series(np.where(is_click, pos, -1))
+            .groupby([df["user_id"].to_numpy(), df["tb"].to_numpy()], sort=False)
+            .cummax()
+            .to_numpy()
         )
         is_p = ~is_click
-        matched = is_p & cid.notna().to_numpy()
-        unmatched = is_p & ~cid.notna().to_numpy()
+        matched = is_p & (last >= 0)
+        unmatched = is_p & (last < 0)
         parts = []
         if matched.any():
             parts.append(
@@ -175,8 +171,8 @@ def _asof_join_bucketed(sf_dir: str, bucket_us: int, n_parts: int = 32):
                         "tb": df["tb"].to_numpy()[matched],
                         "purchase_id": df["event_id"].to_numpy()[matched],
                         "ts_us": df["ts_us"].to_numpy()[matched],
-                        "click_id": cid.to_numpy()[matched].astype(np.int64),
-                        "click_ts": cts.to_numpy()[matched].astype(np.int64),
+                        "click_id": df["event_id"].to_numpy()[last[matched]].astype(np.int64),
+                        "click_ts": df["ts_us"].to_numpy()[last[matched]].astype(np.int64),
                         "tag": np.int8(0),
                     }
                 )
