@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "ann_topk",
     "embed_cosine_pairs",
+    "asof_join",
+    "range_join_count",
+    "shared_passage_pairs",
 ]
 
 
