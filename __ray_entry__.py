@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational4.stratified_sample,
         "shared_passage_pairs": text.shared_passage_pairs,    # winnowing passage dedup
         "left_join_counts": relational4.left_join_counts,     # left-outer + zero-fill
+        "crawl_link_popularity": crawl_queries.crawl_link_popularity,  # in-degree top-k
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
@@ -942,6 +943,33 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) >= epoch_us(e.ts) - 86400000000
             WHERE e.event_type = 'error'
             GROUP BY e.event_id, e.user_id
+        """,
+        # link-target canonicalization replayed (the crawl_seen_set chain,
+        # doc_id carried through), then in-degree count + deterministic top-k
+        "crawl_link_popularity": f"""
+            WITH docs AS (SELECT doc_id, spans FROM {crawl_docs}),
+            l AS (SELECT doc_id, s.media_ref AS ref
+                  FROM (SELECT doc_id, unnest(spans) AS s FROM docs)
+                  WHERE s.kind = 'link'),
+            c1 AS (SELECT doc_id, regexp_replace(ref, '#.*$', '') AS u FROM l),
+            c2 AS (SELECT doc_id,
+                          lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                          regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                          regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+                   FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(rawhost, ':80$', '') AS host,
+                          CASE WHEN rawpath = '' THEN '/'
+                               WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                               THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                          CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                          END AS q
+                   FROM c2),
+            t AS (SELECT doc_id, 'http://' || host || path || q AS target FROM c3)
+            SELECT target, count(*)::BIGINT AS n_refs,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM t GROUP BY 1
+            ORDER BY n_refs DESC, n_docs DESC, target LIMIT 10
         """,
         "left_join_counts": """
             SELECT c.c_custkey, c.c_mktsegment,

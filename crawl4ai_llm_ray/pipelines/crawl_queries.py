@@ -186,6 +186,60 @@ def crawl_curation(sf_dir: str = ""):
     return curation_over(docs).sort("doc_id")
 
 
+def crawl_link_popularity(sf_dir: str = "", k: int = 10):
+    """Link-graph in-degree ranking over the interleaved docs: explode link
+    spans, canonicalize every target (same vectorized kernel as the
+    frontier), count references and distinct referring docs per target, top-k
+    by (n_refs, n_docs, target). The crawl-analytics shape: most-linked pages
+    fall out of the span table without any crawler state."""
+    import pyarrow.compute as pc
+
+    from ..functions.urlnorm import canonicalize_urls
+
+    out = ensure_crawl()
+
+    def links(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices()
+        vals = spans.values
+        mask = pc.equal(vals.field("kind"), "link")
+        refs = vals.field("media_ref").filter(mask)
+        src = t["doc_id"].take(parent.filter(mask))
+        canon = canonicalize_urls(refs)
+        ok = pc.is_valid(canon)
+        return pa.table(
+            {"target": canon.filter(ok), "src_doc": src.filter(ok)}
+        )
+
+    def count_per_target(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("target").agg(
+            n_refs=("src_doc", "size"), n_docs=("src_doc", "nunique")
+        )
+        return g.reset_index()
+
+    exploded = read_docs(out).select_columns(["doc_id", "spans"]).map_batches(
+        links, batch_format="pyarrow"
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64
+
+        return t.append_column(
+            "tp", pa.array((fnv1a64(t["target"]) % np.uint64(16)).astype(np.int64))
+        )
+
+    counted = (
+        exploded.map_batches(part, batch_format="pyarrow")
+        .groupby("tp")
+        .map_groups(count_per_target, batch_format="pandas")
+    )
+    return counted.sort(
+        ["n_refs", "n_docs", "target"], descending=[True, True, False]
+    ).limit(k)
+
+
 def crawl_metrics(sf_dir: str = ""):
     """Per-partition/per-wave frontier metrics (offered/admitted/deduped/
     robots_blocked/fetched) — the north_rule lineage+metrics artifact."""
