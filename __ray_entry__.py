@@ -82,7 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "corpus_curation": text.corpus_curation,               # composed curation pass
         "rolling_fingerprint": text.rolling_hash_fingerprint,  # min-FNV SQL oracle
-        "deterministic_sample": text.deterministic_sample,
+        "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; deterministic_sample, the random_sample near-dup, moved to the tail)
         "random_sample": text.random_sample,                   # seeded hash-threshold
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # splitmix-in-SQL oracle
         "dedup_clusters": dedup.dedup_clusters,                # LSH graph + recursive CTE
         "simhash": dedup.simhash,                              # per-bit-majority SQL oracle
-        "embed_cosine_pairs": dedup.embed_cosine_pairs,
+        "range_join_count": relational4.range_join_count,      # banded range join (in-window; embed_cosine_pairs, the documented brute twin of embed_lsh_pairs, moved to the tail)
         "embed_lsh_pairs": dedup.embed_lsh_pairs,              # SQL LSH twin
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
@@ -112,8 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions: time joins (asof_join sits in-window above),
         #     pivot/rollup, histogram-sketch quantiles ---
         "count_group": relational.count_group,                # A1 (agg_q1)
-        "range_join_count": relational4.range_join_count,
-        "crawl_curation": crawl_queries.crawl_curation,       # fetch→decompose→curate composition
+        "deterministic_sample": text.deterministic_sample,    # (random_sample)
+        "embed_cosine_pairs": dedup.embed_cosine_pairs,       # (embed_lsh_pairs brute twin)
         "stratified_sample": relational4.stratified_sample,
         "shared_passage_pairs": text.shared_passage_pairs,    # winnowing passage dedup
         "left_join_counts": relational4.left_join_counts,     # left-outer + zero-fill
