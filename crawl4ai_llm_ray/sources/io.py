@@ -161,3 +161,59 @@ def write_json_records(ds, path: str):
     """Dataset → directory of JSON-lines files (reference-format export)."""
     ds.write_json(path)
     return path
+
+
+# ------------------------------------------------ resumable partitioned sink
+def write_partitioned(ds, path: str, partition_col: str, format: str = "parquet"):
+    """Resumable partitioned write — the generic form of the crawl sink's
+    per-wave commit (``pipelines/crawl.py``): one directory per partition
+    value, each committed ATOMICALLY (write into ``.tmp_*`` → ``os.replace``
+    → ``_SUCCESS`` marker), so a failed run leaves only whole-or-absent
+    partitions and a re-run SKIPS every partition that already has its
+    marker (the skip check runs inside the task — no driver-side listing of
+    a possibly-huge output tree).
+
+    The groupby is the one shuffle; the group fn handles one partition value
+    per call, so partition count should be directory-sized (hundreds to
+    thousands), exactly like any hive layout. Returns a Dataset manifest
+    (partition, rows, skipped)."""
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    os.makedirs(path, exist_ok=True)
+    fmt = storage_format(format)
+    if fmt not in ("parquet", "ipc"):
+        raise ValueError(f"write_partitioned supports parquet/ipc, got {fmt!r}")
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        val = df[partition_col].iloc[0]
+        final = os.path.join(path, f"{partition_col}={val}")
+        marker = os.path.join(final, "_SUCCESS")
+        if os.path.exists(marker):
+            return pd.DataFrame(
+                {"partition": [str(val)], "rows": [0], "skipped": [True]}
+            )
+        import shutil
+        import uuid
+
+        tmp = os.path.join(path, f".tmp_{val}_{uuid.uuid4().hex}")
+        os.makedirs(tmp, exist_ok=True)
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        if fmt == "ipc":
+            with pa.OSFile(os.path.join(tmp, "part-0.arrow"), "wb") as f, pa.ipc.new_file(
+                f, tbl.schema
+            ) as w:
+                w.write_table(tbl)
+        else:
+            pq_mod.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+        shutil.rmtree(final, ignore_errors=True)  # partial dir w/o marker
+        os.replace(tmp, final)
+        with open(marker, "w"):
+            pass
+        return pd.DataFrame(
+            {"partition": [str(val)], "rows": [len(df)], "skipped": [False]}
+        )
+
+    return ds.groupby(partition_col).map_groups(
+        write_group, batch_format="pandas"
+    ).materialize()

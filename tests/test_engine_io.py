@@ -68,6 +68,37 @@ def test_format_switch_roundtrip(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_write_partitioned_resumable(tmp_path):
+    """Per-partition atomic commit + skip-on-rerun: delete one partition,
+    re-run, only that partition is rewritten and the data round-trips."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pa.array((t["doc_id"].to_numpy() % 4))),
+        batch_format="pyarrow",
+    )
+    out = str(tmp_path / "parts")
+    m1 = eio.write_partitioned(ds, out, "bucket").to_pandas()
+    assert len(m1) == 4 and not m1["skipped"].any()
+    # wipe one partition entirely; re-run writes ONLY it
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "bucket=2"))
+    m2 = eio.write_partitioned(ds, out, "bucket").to_pandas().set_index("partition")
+    assert not m2.loc["2", "skipped"] and m2.drop("2")["skipped"].all()
+    back = eio.read_dataset(out).to_pandas()
+    orig = ds.to_pandas()
+    assert sorted(back["doc_id"]) == sorted(orig["doc_id"])
+    assert (
+        back.sort_values("doc_id")["text"].tolist()
+        == orig.sort_values("doc_id")["text"].tolist()
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ipc_and_csv_roundtrip(tmp_path):
     """documents through the Arrow-IPC and CSV backends: same rows back,
     column projection at the IPC read."""
