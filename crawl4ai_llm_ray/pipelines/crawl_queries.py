@@ -183,7 +183,7 @@ def crawl_curation(sf_dir: str = ""):
     docs = read_docs(out).select_columns(["doc_id", "spans"]).map_batches(
         doc_text, batch_format="pyarrow"
     )
-    return curation_over(docs).sort("doc_id")
+    return curation_over(docs)  # unordered — curated output can be huge; no global sort
 
 
 def crawl_link_popularity(sf_dir: str = "", k: int = 10):

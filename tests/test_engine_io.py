@@ -96,6 +96,12 @@ def test_write_partitioned_resumable(tmp_path):
         back.sort_values("doc_id")["text"].tolist()
         == orig.sort_values("doc_id")["text"].tolist()
     )
+    # ipc branch: partitioned arrow fragments, one partition read back
+    out2 = str(tmp_path / "parts_ipc")
+    m3 = eio.write_partitioned(ds, out2, "bucket", format="ipc").to_pandas()
+    assert len(m3) == 4 and not m3["skipped"].any()
+    one = eio.read_dataset(os.path.join(out2, "bucket=1"), format="ipc").to_pandas()
+    assert sorted(one["doc_id"]) == sorted(orig[orig["doc_id"] % 4 == 1]["doc_id"])
 
 
 @pytest.mark.usefixtures("ray_session")
