@@ -372,8 +372,24 @@ def left_join_counts(sf_dir: str, n_agg_parts: int = 16):
     per partition — see minhash_lsh_pairs[join] note)."""
     import ray
 
+    import pyarrow.parquet as pq_mod
+
     n_join_parts = max(2, min(n_agg_parts, int(ray.cluster_resources().get("CPU", 8))))
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    if pq_mod.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows == 0:
+        # empty right side breaks Ray's hash-join aggregator finalize (and a
+        # join against nothing is a constant anyway): zero-fill directly
+        def zeros(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].to_numpy(),
+                    "c_mktsegment": df["c_mktsegment"].to_numpy(),
+                    "n_orders": np.zeros(len(df), np.int64),
+                    "total_spent": np.zeros(len(df), np.float64),
+                }
+            )
+
+        return cust.map_batches(zeros, batch_format="pandas")
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -477,7 +493,11 @@ def approx_quantiles_hist(
         )
         return g.rename(columns={"min": "mn", "max": "mx"})
 
+    _MM_EMPTY = pd.DataFrame({"o_orderpriority": [], "mn": [], "mx": []})
+
     def mm_final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty input → columnless frame; keep the schema
+            return _MM_EMPTY
         return df.groupby("o_orderpriority", as_index=False).agg(
             mn=("mn", "min"), mx=("mx", "max")
         )
@@ -488,6 +508,17 @@ def approx_quantiles_hist(
         .map_batches(mm_final, batch_format="pandas", batch_size=None)
         .to_pandas()  # dimension-sized (one row per group) — driver-safe
     )
+    if not len(grid):  # empty corpus: Ray may skip map_batches entirely,
+        # handing back a columnless frame — return the empty result directly
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                **{
+                    f"p{int(q * 100)}_hist": pa.array([], pa.float64())
+                    for q in qs
+                },
+            }
+        )
     mn = dict(zip(grid["o_orderpriority"], grid["mn"]))
     mx = dict(zip(grid["o_orderpriority"], grid["mx"]))
 
@@ -515,6 +546,10 @@ def approx_quantiles_hist(
     partials = ds.map_batches(hist_partial, batch_format="pandas", batch_size=65536)
 
     def finalize(h: pd.DataFrame) -> pd.DataFrame:
+        if not len(h):
+            return pd.DataFrame(
+                {"o_orderpriority": [], **{f"p{int(q * 100)}_hist": [] for q in qs}}
+            )
         rows = []
         for key, sub in h.groupby("o_orderpriority"):
             sub = sub.sort_values("bin")

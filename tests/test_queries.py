@@ -117,6 +117,76 @@ def test_asof_bucketed_equals_default():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_round3_ops_on_empty_tables(tmp_path):
+    """Zero-row inputs: every round-3 operator returns empty instead of
+    crashing (Ray can skip map_batches entirely on empty datasets, handing
+    downstream code columnless frames)."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import relational4 as r4
+    from crawl4ai_llm_ray.pipelines import text as tx
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.date32()),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_mktsegment": pa.array(["A"], pa.string()),
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        ),
+        f"{d}/documents.parquet",
+    )
+    for fn in (
+        r4.asof_join,
+        lambda p: r4.asof_join(p, bucket_us=86_400_000_000),
+        r4.range_join_count,
+        r4.pivot_orders,
+        r4.rollup_orders,
+        r4.stratified_sample,
+        r4.approx_quantiles_hist,
+        tx.shared_passage_pairs,
+    ):
+        out = fn(d)
+        n = out.count() if hasattr(out, "count") else len(out)
+        assert n == 0, fn
+    # customers survive an empty orders table with zero fill
+    lj = _df(r4.left_join_counts(d))
+    assert len(lj) == 1 and lj["n_orders"].iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_left_join_zero_fill(tmp_path):
     """The corpus has no order-less customers, so the left-outer zero-fill
     branch needs a constructed case."""
