@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
+        "embed_dedup_clusters": dedup.embed_dedup_clusters,   # SemDeDup-shape semantic clusters
     }
 
 
@@ -354,6 +355,37 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc_id = p.b
                 WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= 0.4
             )"""
+
+    embed_lsh_ctes = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            en AS (SELECT vec_id, v,
+                          list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn
+                   FROM e),
+            dim AS (SELECT len(v) AS d FROM e LIMIT 1),
+            -- hyperplanes derived exactly as the engine does: splitmix64 of
+            -- (index+1)*GOLDEN, scaled to [-0.5, 0.5) (both sides round the
+            -- uint64 to double identically)
+            pidx AS (SELECT t, p, i, (t * 3 * d + p * d + i)::UBIGINT AS k
+                     FROM dim,
+                          (SELECT unnest(range(0, 8)) AS t),
+                          (SELECT unnest(range(0, 3)) AS p),
+                          (SELECT unnest(range(0, (SELECT d FROM dim))) AS i)),
+            praw AS (SELECT t, p, i,
+                            {_remix_sql(_modmul_sql("(k + 1)", 0x9E3779B97F4A7C15))} AS r
+                     FROM pidx),
+            pl AS (SELECT t AS tbl, p AS pi,
+                          list((r::DOUBLE) / 18446744073709551616.0 - 0.5 ORDER BY i) AS pv
+                   FROM praw GROUP BY t, p),
+            bits AS (SELECT vec_id, tbl, pi,
+                            CASE WHEN list_sum(list_transform(range(1, (SELECT d FROM dim) + 1),
+                                                              i -> vn[i] * pv[i])) > 0
+                                 THEN (1 << pi) ELSE 0 END AS bit
+                     FROM en CROSS JOIN pl),
+            sig AS (SELECT vec_id, tbl, sum(bit) AS s FROM bits GROUP BY vec_id, tbl),
+            cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                     FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.s = b.s
+                                          AND a.vec_id < b.vec_id)
+    """
+
     return {
         "filter_project": """
             SELECT l_orderkey, l_quantity, l_extendedprice
@@ -814,34 +846,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT ({_fnv_sql("cu")})::UBIGINT AS url_hash FROM allseen ORDER BY url_hash
         """,
         "embed_lsh_pairs": f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            en AS (SELECT vec_id, v,
-                          list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn
-                   FROM e),
-            dim AS (SELECT len(v) AS d FROM e LIMIT 1),
-            -- hyperplanes derived exactly as the engine does: splitmix64 of
-            -- (index+1)*GOLDEN, scaled to [-0.5, 0.5) (both sides round the
-            -- uint64 to double identically)
-            pidx AS (SELECT t, p, i, (t * 3 * d + p * d + i)::UBIGINT AS k
-                     FROM dim,
-                          (SELECT unnest(range(0, 8)) AS t),
-                          (SELECT unnest(range(0, 3)) AS p),
-                          (SELECT unnest(range(0, (SELECT d FROM dim))) AS i)),
-            praw AS (SELECT t, p, i,
-                            {_remix_sql(_modmul_sql("(k + 1)", 0x9E3779B97F4A7C15))} AS r
-                     FROM pidx),
-            pl AS (SELECT t AS tbl, p AS pi,
-                          list((r::DOUBLE) / 18446744073709551616.0 - 0.5 ORDER BY i) AS pv
-                   FROM praw GROUP BY t, p),
-            bits AS (SELECT vec_id, tbl, pi,
-                            CASE WHEN list_sum(list_transform(range(1, (SELECT d FROM dim) + 1),
-                                                              i -> vn[i] * pv[i])) > 0
-                                 THEN (1 << pi) ELSE 0 END AS bit
-                     FROM en CROSS JOIN pl),
-            sig AS (SELECT vec_id, tbl, sum(bit) AS s FROM bits GROUP BY vec_id, tbl),
-            cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-                     FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.s = b.s
-                                          AND a.vec_id < b.vec_id)
+            WITH {embed_lsh_ctes}
             SELECT c.va AS vec_a, c.vb AS vec_b
             FROM cand c
             JOIN e x ON x.vec_id = c.va
@@ -979,6 +984,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS t
                 FROM orders GROUP BY 1) o
               ON c.c_custkey = o.o_custkey
+        """,
+        # semantic dedup clusters: the embed-LSH pair CTEs + the same
+        # recursive transitive-closure used by dedup_clusters_exact
+        "embed_dedup_clusters": f"""
+            WITH RECURSIVE {embed_lsh_ctes},
+            epairs AS (SELECT c.va AS a, c.vb AS b
+                       FROM cand c
+                       JOIN e x ON x.vec_id = c.va
+                       JOIN e y ON y.vec_id = c.vb
+                       WHERE list_cosine_similarity(x.v, y.v) >= 0.35),
+            edges AS (SELECT a AS u, b AS v FROM epairs
+                      UNION ALL SELECT b, a FROM epairs),
+            reach(a, b) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.a, ed.v FROM reach r JOIN edges ed ON r.b = ed.u
+            ),
+            lab AS (SELECT a AS node, least(a, min(b)) AS label
+                    FROM reach GROUP BY a)
+            SELECT v.vec_id,
+                   COALESCE(l.label, v.vec_id) AS cluster_id,
+                   (COALESCE(l.label, v.vec_id) = v.vec_id) AS keep
+            FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.node
         """,
         "pivot_orders": """
             SELECT o_orderpriority,

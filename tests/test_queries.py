@@ -376,6 +376,21 @@ def test_ann_ivf_recall():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embed_dedup_clusters_consistent_with_pairs():
+    """Semantic clusters = connected components of the embed-LSH pair graph:
+    every pair lands in one cluster, exactly one keeper per cluster."""
+    from crawl4ai_llm_ray.pipelines import dedup
+
+    pairs = _df(dedup.embed_lsh_pairs(SF))
+    cl = _df(dedup.embed_dedup_clusters(SF)).set_index("vec_id")
+    for _, r in pairs.iterrows():
+        assert cl.loc[r["vec_a"], "cluster_id"] == cl.loc[r["vec_b"], "cluster_id"]
+    g = cl.groupby("cluster_id")["keep"].sum()
+    assert (g == 1).all()
+    assert (cl[cl["keep"]].index == cl[cl["keep"]]["cluster_id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ann_pq_recall_and_exact_rerank():
     """PQ code-scan + exact re-rank: decent recall vs brute force, and every
     returned score is the EXACT cosine (approximation only selects
