@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": relational4.rollup_orders,
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
         "embed_dedup_clusters": dedup.embed_dedup_clusters,   # SemDeDup-shape semantic clusters
+        "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join
     }
 
 
@@ -1007,6 +1008,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l.label, v.vec_id) AS cluster_id,
                    (COALESCE(l.label, v.vec_id) = v.vec_id) AS keep
             FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.node
+        """,
+        "regional_revenue": """
+            SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "pivot_orders": """
             SELECT o_orderpriority,

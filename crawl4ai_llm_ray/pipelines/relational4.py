@@ -431,6 +431,88 @@ def left_join_counts(sf_dir: str, n_agg_parts: int = 16):
     return joined.map_batches(fill, batch_format="pandas")
 
 
+def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
+    """TPC-H-Q5-shape 5-table join: revenue (extendedprice·(1−discount)) per
+    REGION, through lineitem → orders → customer → nation → region. The
+    suite's widest join topology, planned the scale-correct way:
+
+      * lineitem ⋈ orders is the ONE big shuffle join (both sides narrowed
+        to 2 columns before the exchange, width sized to the CPU budget);
+      * customer→nation→region collapses to a single broadcast int→string
+        lookup (dimensions are small by definition) applied in-batch via
+        np.searchsorted — never shuffled, shipped once via ray.put;
+      * revenue pre-aggregates per region inside each batch (combiner), so
+        the finalize sees dimension-sized partials.
+
+    Returns (r_name, revenue) rounded to 2 decimals."""
+    import ray
+
+    n_join_parts = max(2, min(n_agg_parts, int(ray.cluster_resources().get("CPU", 8))))
+    import pyarrow.parquet as pq_mod
+
+    # broadcast side: custkey → region name (customer ⋈ nation ⋈ region on
+    # the driver — all three are dimension tables; at 100 TB customer joins
+    # distributed first and only the final int→region map broadcasts)
+    cust = pq_mod.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq_mod.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq_mod.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    lut = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name"]].sort_values("c_custkey")
+    keys = lut["c_custkey"].to_numpy()
+    names = lut["r_name"].to_numpy()
+    lut_ref = ray.put((keys, names))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def narrow_li(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "rev": (
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    joined = li.map_batches(narrow_li, batch_format="pandas").join(
+        orders,
+        join_type="inner",
+        num_partitions=n_join_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        k, nm = _ray.get(lut_ref)
+        idx = np.searchsorted(k, df["o_custkey"].to_numpy())
+        g = pd.DataFrame({"r_name": nm[idx], "rev": df["rev"].to_numpy()}).groupby(
+            "r_name", as_index=False
+        )["rev"].sum()
+        return g
+
+    from ..functions.agg import final_agg
+
+    return final_agg(
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536),
+        keys=["r_name"],
+        sums={"revenue": "rev"},
+        finalize=lambda g: g.assign(revenue=g["revenue"].round(2))[
+            ["r_name", "revenue"]
+        ],
+    )
+
+
 _STRATA = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
 
 
