@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_hist": relational4.approx_quantiles_hist,
         "embed_dedup_clusters": dedup.embed_dedup_clusters,   # SemDeDup-shape semantic clusters
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join
+        "crawl_host_stats": crawl_queries.crawl_host_stats,   # per-host operational view
     }
 
 
@@ -1008,6 +1009,17 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(l.label, v.vec_id) AS cluster_id,
                    (COALESCE(l.label, v.vec_id) = v.vec_id) AS keep
             FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.node
+        """,
+        "crawl_host_stats": f"""
+            WITH d AS (SELECT host, wave, spans FROM {crawl_docs}),
+            l AS (SELECT host, wave,
+                         len(list_filter(spans, s -> s.kind = 'link')) AS n_links
+                  FROM d)
+            SELECT host, count(*)::BIGINT AS n_docs,
+                   min(wave)::BIGINT AS first_wave,
+                   max(wave)::BIGINT AS last_wave,
+                   sum(n_links)::BIGINT AS n_links_out
+            FROM l GROUP BY host
         """,
         "regional_revenue": """
             SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

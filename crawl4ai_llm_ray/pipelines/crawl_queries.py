@@ -240,6 +240,61 @@ def crawl_link_popularity(sf_dir: str = "", k: int = 10):
     ).limit(k)
 
 
+def crawl_host_stats(sf_dir: str = ""):
+    """Per-host crawl summary over the interleaved docs: docs fetched, wave
+    span (first/last), and outbound link count — the per-host operational
+    view a crawl operator reads next to the frontier metrics. One vectorized
+    pass (span kinds counted via value_parent_indices bincount) + a
+    dimension-sized host aggregation."""
+    out = ensure_crawl()
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices().to_numpy(zero_copy_only=False)
+        kinds = spans.values.field("kind").to_numpy(zero_copy_only=False)
+        nlink = np.bincount(parent[kinds == "link"], minlength=t.num_rows).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "host": t["host"],
+                "wave": t["wave"],
+                "n_links": pa.array(nlink),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("host", as_index=False).agg(
+            n_docs=("wave", "size"),
+            first_wave=("wave", "min"),
+            last_wave=("wave", "max"),
+            n_links_out=("n_links", "sum"),
+        )
+
+    partials = (
+        read_docs(out)
+        .select_columns(["host", "wave", "spans"])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        # min/max aren't plain sums, so this is final_agg's shape with the
+        # right per-column reducers (host cardinality is dimension-sized)
+        return df.groupby("host", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            first_wave=("first_wave", "min"),
+            last_wave=("last_wave", "max"),
+            n_links_out=("n_links_out", "sum"),
+        )
+
+    return partials.repartition(1).map_batches(
+        agg, batch_format="pandas", batch_size=None
+    )
+
+
 def crawl_metrics(sf_dir: str = ""):
     """Per-partition/per-wave frontier metrics (offered/admitted/deduped/
     robots_blocked/fetched) — the north_rule lineage+metrics artifact."""
