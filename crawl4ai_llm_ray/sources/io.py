@@ -184,6 +184,14 @@ def write_partitioned(ds, path: str, partition_col: str, format: str = "parquet"
     fmt = storage_format(format)
     if fmt not in ("parquet", "ipc"):
         raise ValueError(f"write_partitioned supports parquet/ipc, got {fmt!r}")
+    # crash hygiene: a task killed mid-write leaves an orphaned .tmp_* dir
+    # (never visible to readers — only os.replace publishes); sweep them at
+    # the next write so they can't accumulate
+    import shutil as _shutil
+
+    for name in os.listdir(path):
+        if name.startswith(".tmp_"):
+            _shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
     def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
         val = df[partition_col].iloc[0]

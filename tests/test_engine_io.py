@@ -96,6 +96,12 @@ def test_write_partitioned_resumable(tmp_path):
         back.sort_values("doc_id")["text"].tolist()
         == orig.sort_values("doc_id")["text"].tolist()
     )
+    # crash hygiene: a stale .tmp_* dir (simulated killed task) is swept on
+    # the next write and never surfaces in reads
+    os.makedirs(os.path.join(out, ".tmp_9_deadbeef"), exist_ok=True)
+    eio.write_partitioned(ds, out, "bucket")
+    assert not [n for n in os.listdir(out) if n.startswith(".tmp_")]
+
     # ipc branch: partitioned arrow fragments, one partition read back
     out2 = str(tmp_path / "parts_ipc")
     m3 = eio.write_partitioned(ds, out2, "bucket", format="ipc").to_pandas()
