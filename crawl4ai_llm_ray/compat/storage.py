@@ -443,6 +443,7 @@ class AsyncArrowProductStore:
 
 _REGISTRY = {"arrow": ArrowProductStore, "json": ArrowProductStore, "async": AsyncArrowProductStore}
 _instances: dict[str, ArrowProductStore] = {}  # resolved path → SYNC store
+_instance_options: dict[str, dict] = {}  # resolved path → creating options
 _async_instances: dict[str, AsyncArrowProductStore] = {}
 
 
@@ -452,12 +453,26 @@ def get_storage(storage_type: str = "arrow", path: str = "/tmp/arrow_store", **o
     singleton per RESOLVED PATH. 'arrow'/'json'/'async' over the same
     directory share ONE in-memory index (the async facade wraps the cached
     sync store), so writes through any surface are immediately visible to —
-    and can never be clobbered by the write-through flushes of — the others."""
+    and can never be clobbered by the write-through flushes of — the others.
+
+    Options apply on FIRST construction for a path; a later call for the
+    same path with different options gets the existing instance and a
+    warning (silently ignoring them would hide e.g. a flush_every change)."""
+    import warnings
+
     if storage_type not in _REGISTRY:
         raise ValueError(f"Unknown storage type: {storage_type}")
     key = os.path.realpath(path)
     if key not in _instances:
         _instances[key] = ArrowProductStore(path, **options)
+        _instance_options[key] = dict(options)
+    elif options and options != _instance_options.get(key, {}):
+        warnings.warn(
+            f"get_storage({path!r}): store already exists for this path; "
+            f"ignoring options {options!r} (created with "
+            f"{_instance_options.get(key, {})!r})",
+            stacklevel=2,
+        )
     if storage_type == "async":
         if key not in _async_instances:
             _async_instances[key] = AsyncArrowProductStore(path, _store=_instances[key])

@@ -213,13 +213,26 @@ def build_pq_index(
         return _PQ_CACHE[key]
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    step = max(1, n_rows // train_cap)
-    tbl = pq.read_table(
+    # ceil so the stride sample is genuinely ≤ train_cap rows
+    step = max(1, -(-n_rows // train_cap))
+
+    ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    # stride sample (vec_id % step == 0) — the driver keeps ≤ cap rows
-    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
-    sample = list_col_to_matrix(tbl["embedding"].filter(pa.array(ids % step == 0)))
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % step == 0))
+
+    # dataset-side stride filter (like build_ivf_index): only the ≤ train_cap
+    # sampled rows ever reach the driver — never the full table
+    samp = (
+        ds.map_batches(pick_sample, batch_format="pyarrow")
+        .sort("vec_id")
+        .limit(train_cap)
+        .take_all()
+    )
+    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in samp])
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     d = sample.shape[1]
     assert d % m_subs == 0, (d, m_subs)
@@ -259,9 +272,6 @@ def build_pq_index(
         )
         return pa.table({"vec_id": t["vec_id"], "codes": blob})
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
     ds.map_batches(encode, batch_format="pyarrow").write_parquet(codes_dir)
     _PQ_CACHE[key] = (codes_dir, books)
     return codes_dir, books
@@ -303,8 +313,13 @@ def ann_pq_topk(
         col = t["codes"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        # honor a sliced block's array offset (fixed-size-binary data buffer
+        # starts at col.offset * m_subs bytes)
         codes = np.frombuffer(
-            col.buffers()[-1], dtype=np.uint8, count=len(col) * m_subs
+            col.buffers()[-1],
+            dtype=np.uint8,
+            count=len(col) * m_subs,
+            offset=col.offset * m_subs,
         ).reshape(-1, m_subs)
         score = L[np.arange(m_subs)[None, :], codes].sum(axis=1)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)

@@ -94,26 +94,36 @@ def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ----------------------------------------------------------------- exact dedup
-def dedup_exact_text(sf_dir: str):
+def dedup_exact_text(sf_dir: str, num_partitions: int = 32):
     """Exact dedup on full content: keep the min doc_id per text. The
-    canonical hash-partition + per-group-first pattern: groupby shuffles one
-    row per doc keyed by content (at scale: key on the 64-bit content hash so
-    shuffle rows are narrow, then confirm within group)."""
+    canonical hash-partition + per-group-first pattern: rows are routed by
+    the 64-bit content hash (so the shuffle key is narrow and never skewed),
+    but the per-partition group key is (hash, text) — full text equality is
+    confirmed within hash groups, so a hash collision between distinct texts
+    cannot merge their groups (exactness vs the GROUP BY text oracle)."""
     ds = _read_docs(sf_dir)
 
     def key(t: pa.Table) -> pa.Table:
-        # narrow shuffle rows: (content_hash, doc_id) only
+        k = fnv1a64(t["text"])
         return pa.table(
-            {"k": pa.array(fnv1a64(t["text"])), "doc_id": t["doc_id"]}
+            {
+                "k": pa.array(k.view(np.int64)),
+                "kp": pa.array((k % np.uint64(num_partitions)).astype(np.int64)),
+                "text": t["text"],
+                "doc_id": t["doc_id"],
+            }
         )
 
-    survivors = (
+    def min_per_part(df: pd.DataFrame) -> pd.DataFrame:
+        # (k, text): k leads so the pandas groupby stays cheap; text breaks
+        # the (astronomically rare, but oracle-visible) 64-bit collisions
+        return df.groupby(["k", "text"], as_index=False)["doc_id"].min()[["doc_id"]]
+
+    return (
         ds.map_batches(key, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+        .groupby("kp")
+        .map_groups(min_per_part, batch_format="pandas")
     )
-    return survivors
 
 
 def dedup_exact_prefix(sf_dir: str, n_tokens: int = 5):
@@ -773,29 +783,54 @@ def embed_lsh_pairs(
 
     bucketed = ds.map_batches(buckets, batch_format="pyarrow", batch_size=8192)
 
-    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
-        # (tbl, sig) groups are complete within a bucket partition: emit +
-        # exact-cosine-verify pairs with one m×m matmul per bucket
-        out_a, out_b = [], []
-        for _, g in df.groupby(["tbl", "sig"], sort=False):
-            m = len(g)
-            if m < 2:
-                continue
-            ids = g["vec_id"].to_numpy()
-            M = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-            S = M @ M.T
-            iu, ju = np.triu_indices(m, k=1)
-            keep = S[iu, ju] >= threshold
-            ia, jb = ids[iu[keep]], ids[ju[keep]]
-            out_a.append(np.minimum(ia, jb))
-            out_b.append(np.maximum(ia, jb))
-        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return pd.DataFrame(
-            {"a": a.astype(np.int64), "b": b.astype(np.int64), "ap": a.astype(np.int64) % n_pair_parts}
+    _V_EMPTY = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "ap": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_verify(t: pa.Table) -> pa.Table:
+        # (tbl, sig) groups are complete within a bucket partition. Fully
+        # vectorized (no per-bucket Python loop, no per-row list→array
+        # conversion): the fixed-width vec column becomes ONE (rows, d)
+        # matrix zero-copy; intra-bucket (i<j) pair indices are generated
+        # with repeat/cumsum arithmetic over the sorted group run-lengths;
+        # the exact-cosine verify is a single einsum over the pair rows —
+        # half the flops of the old per-bucket m×m matmuls.
+        if t.num_rows < 2:
+            return _V_EMPTY
+        M = list_col_to_matrix(t["vec"])  # zero-copy (rows, d)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        key = t["tbl"].to_numpy(zero_copy_only=False).astype(np.int64) * np.int64(
+            1 << n_planes
+        ) + t["sig"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sizes = np.diff(np.r_[starts, len(ks)])
+        # for the row at local position p of a size-m bucket: m-1-p partners
+        counts_i = np.repeat(sizes, sizes) - 1 - (
+            np.arange(len(ks)) - np.repeat(starts, sizes)
+        )
+        tot = int(counts_i.sum())
+        if tot == 0:
+            return _V_EMPTY
+        i_idx = np.repeat(np.arange(len(ks)), counts_i)
+        run_starts = np.cumsum(counts_i) - counts_i
+        j_idx = i_idx + (np.arange(tot) - np.repeat(run_starts, counts_i)) + 1
+        gi, gj = order[i_idx], order[j_idx]
+        cos = np.einsum("ij,ij->i", M[gi], M[gj])
+        keep = cos >= threshold
+        ia, jb = ids[gi[keep]], ids[gj[keep]]
+        a = np.minimum(ia, jb).astype(np.int64)
+        b = np.maximum(ia, jb).astype(np.int64)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "ap": pa.array(a % n_pair_parts)}
         )
 
-    verified = bucketed.groupby("bp").map_groups(bucket_verify, batch_format="pandas")
+    verified = bucketed.groupby("bp").map_groups(bucket_verify, batch_format="pyarrow")
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         g = df.drop_duplicates(["a", "b"])

@@ -175,10 +175,17 @@ def union_distinct(sf_dir: str):
 
 
 # ------------------------------------------------------------------ M6: upsert
-def upsert_last_writer(sf_dir: str):
+def upsert_last_writer(sf_dir: str, n_parts: int = 32):
     """Last-writer-wins per key — the reference's shallow dict-merge update
     semantics (json_storage.py:409,484) lifted to a keyed dataset: latest
-    event per user. groupby(key).map_groups with deterministic tie-break."""
+    event per user, with deterministic tie-break.
+
+    Shape: argmax-per-key is combinable, so the map stage keeps the
+    per-batch winner (one row per key per batch); the finalize is a
+    PARTITIONED ``groupby(user_id % P).map_groups`` over those partials —
+    key cardinality is the op's own domain (per-user latest at 10^9 users),
+    so a single-task funnel (repartition(1)) would be the bottleneck;
+    each of the P finalize tasks only ever holds its key range's partials."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
@@ -187,13 +194,14 @@ def upsert_last_writer(sf_dir: str):
             .drop_duplicates("user_id", keep="first")
         )
 
-    # argmax-per-key is combinable: keep the per-batch winner (one row per
-    # key per batch), then pick the global winner over the tiny partials —
-    # the upsert analog of the partial-aggregate pattern
-    partials = ds.map_batches(latest, batch_format="pandas", batch_size=65536)
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        w = latest(g)
+        return w.assign(up=w["user_id"].to_numpy() % n_parts)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     return (
-        partials.repartition(1)
-        .map_batches(latest, batch_format="pandas", batch_size=None)
+        partials.groupby("up")
+        .map_groups(latest, batch_format="pandas")
         .select_columns(["user_id", "event_type", "value"])
     )
 

@@ -208,15 +208,19 @@ def curation_over(
             {
                 "k": pa.array(k.view(np.int64)),
                 "kp": pa.array((k % np.uint64(num_partitions)).astype(np.int64)),
+                "text": t["text"],
                 "doc_id": t["doc_id"],
             }
         )
 
     def min_per_part(df) -> "pd.DataFrame":
-        # content-hash groups are partition-complete under kp; one vectorized
-        # pandas min per partition. min works for int64 AND string doc_ids
-        # (lexicographic, like SQL min(varchar))
-        return df.groupby("k", as_index=False)["doc_id"].min()[["doc_id"]]
+        # content groups are partition-complete under kp. Group by (k, text),
+        # not k alone: the oracle groups by text, so a 64-bit hash collision
+        # between distinct texts must NOT merge their groups (k is kept as
+        # the leading groupby key purely to make the pandas groupby cheap —
+        # ties on k fall back to full text equality). min works for int64
+        # AND string doc_ids (lexicographic, like SQL min(varchar)).
+        return df.groupby(["k", "text"], as_index=False)["doc_id"].min()[["doc_id"]]
 
     survivors = (
         docs.map_batches(content_key, batch_format="pyarrow")

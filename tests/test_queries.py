@@ -105,8 +105,15 @@ def test_asof_bucketed_equals_default():
     from crawl4ai_llm_ray.pipelines import relational4
 
     base = (
+        _df(relational4.asof_join(SF, bucket_us=None))
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    # the default ("auto": span-derived bucket) must equal the plain path too
+    auto = (
         _df(relational4.asof_join(SF)).sort_values("purchase_id").reset_index(drop=True)
     )
+    pd.testing.assert_frame_equal(base, auto[base.columns])
     for b_us in (86_400 * 1_000_000, 7 * 3600 * 1_000_000):
         got = (
             _df(relational4.asof_join(SF, bucket_us=b_us))
