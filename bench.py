@@ -158,18 +158,24 @@ def bench_crawl() -> dict:
     }
 
 
-def bench_queries() -> dict:
+def bench_queries(trials: int = 2) -> dict:
+    """Min-of-N per query — the same low-noise protocol as the drain (this
+    box's shared page-fault path gives memory-heavy queries ±2.5x single-trial
+    variance; one trial is unusable as a number)."""
     import __ray_entry__ as e
 
     qs = e.queries()
     out = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume (Datasets are lazy)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        out[name] = round(time.time() - t0, 2)
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume (Datasets are lazy)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 2)
     return out
 
 

@@ -1,0 +1,131 @@
+"""Selector-spec extraction stage (pipelines/extract.py): batch-level
+semantics on hand-built span tables, spec validation, and the engine
+add_extraction_stage wiring (ModelSettings.options → actor spec)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawl4ai_llm_ray.pipelines.extract import (
+    PRODUCT_SPEC,
+    FieldSpec,
+    ProductExtractor,
+    extract_table,
+)
+
+SPAN_T = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+)
+
+
+def _docs(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "spans": pa.array([r[1] for r in rows], type=pa.list_(SPAN_T)),
+        }
+    )
+
+
+def _span(kind, text="", media_ref="", offset=0):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def test_extract_table_nth_attr_count_and_nulls():
+    t = _docs(
+        [
+            (
+                "d0",
+                [
+                    _span("text", "acme widget", offset=0),
+                    _span("image", media_ref="img://a", offset=11),
+                    _span("text", "second para", offset=20),
+                    _span("link", media_ref="http://x", offset=31),
+                ],
+            ),
+            ("d1", [_span("image", media_ref="img://only", offset=0)]),  # no text
+            ("d2", []),  # empty span list
+        ]
+    )
+    out = extract_table(t, PRODUCT_SPEC).to_pandas().set_index("doc_id")
+    assert out.loc["d0", "title"] == "acme widget"
+    assert out.loc["d0", "brand"] == "acme"
+    assert out.loc["d0", "first_image"] == "img://a"
+    assert out.loc["d0", "n_images"] == 1 and out.loc["d0", "n_links"] == 1
+    # doc with no text spans: title/brand null, image fields populated
+    assert out.loc["d1", "title"] is None and out.loc["d1", "brand"] is None
+    assert out.loc["d1", "first_image"] == "img://only"
+    # empty span list: everything null / zero
+    assert out.loc["d2", "title"] is None
+    assert out.loc["d2", "n_images"] == 0 and out.loc["d2", "n_links"] == 0
+
+    # nth>0 + offset attr
+    spec = (
+        FieldSpec("second_text", kind="text", attr="text", nth=1),
+        FieldSpec("second_off", kind="text", attr="offset", nth=1),
+    )
+    out2 = extract_table(t, spec).to_pandas().set_index("doc_id")
+    assert out2.loc["d0", "second_text"] == "second para"
+    assert out2.loc["d0", "second_off"] == 20
+    assert out2.loc["d1", "second_text"] is None
+
+
+def test_extract_regex_no_match_is_null_not_empty():
+    # the struct-validity pitfall: extract_regex's no-match nulls must
+    # survive the struct_field projection (not surface as "")
+    t = _docs([("d0", [_span("text", "123 starts with digits")])])
+    spec = (FieldSpec("alpha", kind="text", regex=r"^(?P<v>[a-z]+)"),)
+    col = extract_table(t, spec)["alpha"]
+    assert col.null_count == 1
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="attr"):
+        FieldSpec("x", kind="text", attr="nope")
+    with pytest.raises(ValueError, match="named group"):
+        FieldSpec("x", kind="text", regex=r"^(\w+)")
+    with pytest.raises(TypeError):
+        ProductExtractor(spec=("not-a-fieldspec",))
+
+
+def test_empty_batch_keeps_schema():
+    t = _docs([])
+    out = extract_table(t, PRODUCT_SPEC)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "doc_id", "title", "brand", "first_image", "n_images", "n_links",
+    ]
+    assert out["n_images"].type == pa.int64()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_extraction_stage_threads_model_settings():
+    """Pipeline.add_extraction_stage must deliver config.llm to the actor
+    (the reference LLMConfig consumption path): a custom spec placed in
+    ModelSettings.options drives the extraction schema."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.engine import EngineConfig, ModelSettings, Pipeline
+
+    ds = rd.from_arrow(
+        _docs(
+            [
+                ("a", [_span("link", media_ref="l1"), _span("link", media_ref="l2")]),
+                ("b", [_span("text", "hello")]),
+            ]
+        )
+    )
+    cfg = EngineConfig()
+    cfg.llm = ModelSettings(
+        options={"extraction_spec": (FieldSpec("links", kind="link", attr="count"),)}
+    )
+    out = (
+        Pipeline(ds, cfg)
+        .add_extraction_stage(ProductExtractor, concurrency=1)
+        .dataset()
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out.columns) == ["links"]
+    assert out.loc["a", "links"] == 2 and out.loc["b", "links"] == 0
