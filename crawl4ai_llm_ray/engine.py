@@ -33,6 +33,9 @@ class CrawlerSettings:
     timeout: float = 30.0       # (:54) — a real fetcher's budget
     max_retries: int = 3        # (:55)
     user_agent: str = "crawl4ai_llm_ray/0.1"
+    headers: dict = field(default_factory=dict)  # (:57) extra HTTP headers
+    proxy: str | None = None    # (:58) proxy URL
+    verify_ssl: bool = True     # (:59)
     n_partitions: int = 8
     wave_duration: float = 8.0
     options: dict = field(default_factory=dict)

@@ -478,29 +478,48 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
     Returns (r_name, revenue) rounded to 2 decimals."""
     import ray
 
-    n_join_parts = max(2, min(n_agg_parts, int(ray.cluster_resources().get("CPU", 8))))
+    # two shuffle joins share the CPU budget: each spawns one aggregator
+    # actor per output partition, so size each to half the budget (the CC
+    # join-width lesson: oversubscribed aggregator actors starve the maps)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_join_parts = max(2, min(n_agg_parts, cpus // 2 or 1))
+
     import pyarrow.parquet as pq_mod
 
-    # broadcast side: custkey → region name (customer ⋈ nation ⋈ region on
-    # the driver — all three are dimension tables; at 100 TB customer joins
-    # distributed first and only the final int→region map broadcasts)
-    cust = pq_mod.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    # genuinely dimension-sized driver reads ONLY: nation (25) and region (5)
+    # → a nationkey→regionkey array + regionkey→name map. customer is fact-
+    # scale (10^9 at the target) and never touches the driver: it joins
+    # distributed below with the tiny nation⋈region lookup applied in-batch.
     nat = pq_mod.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
     ).to_pandas()
     reg = pq_mod.read_table(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     ).to_pandas()
-    lut = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
-        reg, left_on="n_regionkey", right_on="r_regionkey"
-    )[["c_custkey", "r_name"]].sort_values("c_custkey")
-    keys = lut["c_custkey"].to_numpy()
-    names = lut["r_name"].to_numpy()
-    lut_ref = ray.put((keys, names))
+    nk = nat["n_nationkey"].to_numpy()
+    order_nk = np.argsort(nk)
+    nk_keys = nk[order_nk]
+    nk_rk = nat["n_regionkey"].to_numpy()[order_nk]
+    rk2name = dict(zip(reg["r_regionkey"].to_list(), reg["r_name"].to_list()))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def tag_region(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(nk_keys, df["c_nationkey"].to_numpy())
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(), "rk": nk_rk[idx]}
+        )
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    # join 1 (narrow): orders ⋈ customer on custkey → (o_orderkey, rk)
+    orders_rk = orders.join(
+        cust.map_batches(tag_region, batch_format="pandas"),
+        join_type="inner",
+        num_partitions=n_join_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "rk"])
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def narrow_li(df: pd.DataFrame) -> pd.DataFrame:
@@ -514,8 +533,9 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
             }
         )
 
+    # join 2 (the one big exchange): lineitem ⋈ orders on orderkey
     joined = li.map_batches(narrow_li, batch_format="pandas").join(
-        orders,
+        orders_rk,
         join_type="inner",
         num_partitions=n_join_parts,
         on=("l_orderkey",),
@@ -523,24 +543,27 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        k, nm = _ray.get(lut_ref)
-        idx = np.searchsorted(k, df["o_custkey"].to_numpy())
-        g = pd.DataFrame({"r_name": nm[idx], "rev": df["rev"].to_numpy()}).groupby(
-            "r_name", as_index=False
-        )["rev"].sum()
-        return g
+        return (
+            pd.DataFrame({"rk": df["rk"].to_numpy(), "rev": df["rev"].to_numpy()})
+            .groupby("rk", as_index=False)["rev"]
+            .sum()
+        )
 
     from ..functions.agg import final_agg
 
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": g["rk"].map(rk2name),
+                "revenue": g["revenue"].round(2),
+            }
+        )
+
     return final_agg(
         joined.map_batches(partial, batch_format="pandas", batch_size=65536),
-        keys=["r_name"],
+        keys=["rk"],
         sums={"revenue": "rev"},
-        finalize=lambda g: g.assign(revenue=g["revenue"].round(2))[
-            ["r_name", "revenue"]
-        ],
+        finalize=finalize,
     )
 
 

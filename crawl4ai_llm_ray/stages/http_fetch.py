@@ -69,7 +69,13 @@ class HttpFetchFn:
         timeout: float = 10.0,
         min_interval_per_host: float = 0.0,
         backoff: float = 0.0,
+        user_agent: str | None = None,
+        headers: dict[str, str] | None = None,
+        proxy: str | None = None,
+        verify_ssl: bool = True,
     ):
+        import urllib.request
+
         self.url_rewrite = url_rewrite or (lambda u: u)
         self.max_conn = max_conn
         self.timeout = timeout
@@ -77,6 +83,43 @@ class HttpFetchFn:
         self.backoff = backoff
         self._host_lock = threading.Lock()
         self._last_req: dict[str, float] = {}
+        # reference CrawlerConfig fetch knobs (config.py:49-59): headers /
+        # user_agent go on every Request; proxy and verify_ssl configure ONE
+        # opener built here (per fetch worker), not per request
+        self.headers = dict(headers or {})
+        if user_agent is not None:
+            self.headers.setdefault("User-Agent", user_agent)
+        handlers = []
+        if proxy:
+            handlers.append(
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+            )
+        if not verify_ssl:
+            import ssl
+
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            handlers.append(urllib.request.HTTPSHandler(context=ctx))
+        self._opener = urllib.request.build_opener(*handlers)
+
+    @classmethod
+    def from_settings(cls, settings, url_rewrite=None, **overrides):
+        """Build from an ``engine.CrawlerSettings`` (the reference
+        CrawlerConfig surface): timeout / user_agent / headers / proxy /
+        verify_ssl all thread through; ``delay`` becomes the wall-clock
+        per-host safety net."""
+        kw = dict(
+            url_rewrite=url_rewrite,
+            timeout=settings.timeout,
+            user_agent=settings.user_agent,
+            headers=getattr(settings, "headers", None),
+            proxy=getattr(settings, "proxy", None),
+            verify_ssl=getattr(settings, "verify_ssl", True),
+            min_interval_per_host=getattr(settings, "delay", 0.0) or 0.0,
+        )
+        kw.update(overrides)
+        return cls(**kw)
 
     # -------------------------------------------------------------- politeness
     def _wait_host_slot(self, host: str) -> None:
@@ -97,7 +140,8 @@ class HttpFetchFn:
         import urllib.request
 
         try:
-            with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+            req = urllib.request.Request(url, headers=self.headers)
+            with self._opener.open(req, timeout=self.timeout) as resp:
                 return resp.status, resp.read()
         except urllib.error.HTTPError as err:
             return err.code, b""

@@ -210,3 +210,65 @@ def test_model_settings_defaults():
 
     d = PayloadDecoder(model_settings=cfg.llm)
     assert d.cache_dir == cfg.llm.cache_dir
+
+
+class TestLanceBranchContract:
+    """The north star stores tables as Lance; pylance is absent from this
+    sandbox (documented in BASELINE.md), so the ``format="lance"`` branch in
+    sources/io.py is pinned here with a mock backend: the exact call
+    contract (write_lance / read_lance dispatch, the _versions marker probe,
+    the parquet fallback, the not-installed error) is asserted without the
+    real library."""
+
+    def test_auto_prefers_lance_when_importable(self, monkeypatch):
+        monkeypatch.setattr(eio, "HAVE_LANCE", True)
+        assert eio.storage_format("auto") == "lance"
+        monkeypatch.setattr(eio, "HAVE_LANCE", False)
+        assert eio.storage_format("auto") == "parquet"
+
+    def test_lance_requested_but_missing_raises(self, monkeypatch):
+        monkeypatch.setattr(eio, "HAVE_LANCE", False)
+        with pytest.raises(RuntimeError, match="pylance not installed"):
+            eio.storage_format("lance")
+
+    def test_write_dispatches_to_write_lance(self, monkeypatch, tmp_path):
+        monkeypatch.setattr(eio, "HAVE_LANCE", True)
+        calls = {}
+
+        class FakeDS:
+            def write_lance(self, path, **kw):
+                calls["lance"] = (path, kw)
+
+            def write_parquet(self, path, **kw):  # must NOT be hit
+                calls["parquet"] = (path, kw)
+
+        target = str(tmp_path / "t")
+        out = eio.write_dataset(FakeDS(), target, format="lance", max_rows_per_file=7)
+        assert out == target
+        assert calls == {"lance": (target, {"max_rows_per_file": 7})}
+
+    def test_read_dispatches_on_versions_marker(self, monkeypatch, tmp_path):
+        import ray.data as rd
+
+        monkeypatch.setattr(eio, "HAVE_LANCE", True)
+        root = tmp_path / "t"
+        (root / "_versions").mkdir(parents=True)
+        monkeypatch.setattr(
+            rd, "read_lance", lambda path, columns=None, **kw: ("lance", path, columns)
+        )
+        got = eio.read_dataset(str(root), format="lance", columns=["doc_id"])
+        assert got == ("lance", str(root), ["doc_id"])
+
+    def test_read_without_versions_falls_back_to_parquet(self, monkeypatch, tmp_path):
+        """A directory without Lance's _versions marker is a parquet fragment
+        dir (the fallback layout) even when lance is importable."""
+        import ray.data as rd
+
+        monkeypatch.setattr(eio, "HAVE_LANCE", True)
+        root = tmp_path / "t"
+        root.mkdir()
+        monkeypatch.setattr(
+            rd, "read_parquet", lambda path, columns=None, **kw: ("parquet", path, columns)
+        )
+        got = eio.read_dataset(str(root), format="lance", columns=["a"])
+        assert got == ("parquet", str(root), ["a"])

@@ -28,6 +28,7 @@ class _SynthHandler(BaseHTTPRequestHandler):
     cfg = CFG
     fail_first: dict[str, int] = {}
     counts: dict[str, int] = defaultdict(int)
+    seen_headers: dict[str, dict] = {}
     lock = threading.Lock()
 
     def log_message(self, *a):  # keep pytest output clean
@@ -37,6 +38,7 @@ class _SynthHandler(BaseHTTPRequestHandler):
         with self.lock:
             self.counts[self.path] += 1
             n_seen = self.counts[self.path]
+            self.seen_headers[self.path] = dict(self.headers)
         if n_seen <= self.fail_first.get(self.path, 0):
             self.send_response(503)
             self.end_headers()
@@ -131,6 +133,42 @@ class TestHttpFetchFnUnit:
         out = f(pa.array(["http://h000.test/p/0"]), retries=1)
         assert out["status"].tolist() == [599]
         assert out["attempts"].tolist() == [2]
+
+    def test_headers_and_user_agent_reach_the_wire(self, server):
+        """CrawlerSettings fetch knobs (reference config.py:49-59) must
+        thread through from_settings onto the actual HTTP request."""
+        from crawl4ai_llm_ray.engine import CrawlerSettings
+
+        st = CrawlerSettings(
+            user_agent="graft-test-agent/9.9",
+            headers={"X-Graft-Token": "tok-123"},
+            delay=0.0,
+            timeout=5.0,
+        )
+        f = HttpFetchFn.from_settings(st, url_rewrite=_rewrite_for(server))
+        out = f(pa.array(["http://h000.test/p/3"]), retries=0)
+        assert out["status"].tolist() == [200]
+        # urllib normalizes header-name case (X-graft-token) — compare folded
+        hdrs = {
+            k.lower(): v
+            for k, v in _SynthHandler.seen_headers["/h000.test/p/3"].items()
+        }
+        assert hdrs.get("user-agent") == "graft-test-agent/9.9"
+        assert hdrs.get("x-graft-token") == "tok-123"
+
+    def test_explicit_headers_beat_user_agent_default(self, server):
+        f = HttpFetchFn(
+            url_rewrite=_rewrite_for(server),
+            user_agent="default-ua/1",
+            headers={"User-Agent": "explicit-ua/2"},
+        )
+        out = f(pa.array(["http://h000.test/p/4"]), retries=0)
+        assert out["status"].tolist() == [200]
+        hdrs = {
+            k.lower(): v
+            for k, v in _SynthHandler.seen_headers["/h000.test/p/4"].items()
+        }
+        assert hdrs.get("user-agent") == "explicit-ua/2"
 
     def test_per_host_min_interval(self, server):
         f = HttpFetchFn(
