@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_paginate": relational.sort_paginate,            # O1/O2
         "semi_join": relational.semi_join,                    # J1
         "anti_join": relational.anti_join,                    # J3
-        "union_distinct": relational.union_distinct,          # D3
         "upsert_latest": relational.upsert_last_writer,       # M6
         "key_derivation": relational.key_derivation,          # M1
         "broadcast_join_agg": relational.broadcast_join_agg,  # star join
@@ -74,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
         "distinct_count": relational2.distinct_count,
         "string_funcs": relational2.string_funcs,             # §2.8
-        "date_funcs": relational2.date_funcs,                 # §2.8
         "sessionize": relational2.sessionize,                 # §2.9
         "token_count_bpe": relational2.token_count_bpe,
         "topk_per_group": relational3.topk_per_group,
@@ -87,7 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "corpus_curation": text.corpus_curation,               # composed curation pass
-        "rolling_fingerprint": text.rolling_hash_fingerprint,  # min-FNV SQL oracle
+        "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (new in r4)
+        "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
+        "tfidf_top_terms": text.tfidf_top_terms,               # corpus-df keyword extraction (new in r4)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; both sampling twins — random_sample and deterministic_sample — sit in the tail since r4)
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
@@ -100,10 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup_clusters": dedup.embed_dedup_clusters,    # SemDeDup-shape semantic clusters (rotated in r4)
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
+        "ann_topk_multi": ann.ann_topk_multi,                  # batched multi-query serving shape (new in r4)
         "ann_ivf_topk": ann.ann_ivf_topk,                      # SQL IVF twin
         # --- multimodal (stubbed decode, real plumbing) ---
         "media_features": multimodal.media_features,           # SQL oracle (byte stats)
-        "media_resize_plan": multimodal.media_resize_plan,     # SQL oracle
         "text_embeddings": multimodal.text_embeddings,         # full-model SQL twin
         # --- tail: near-duplicate variants of green siblings above (entries
         #     past the driver's 50-entry window by design; all are still
@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,               # (rolling_fingerprint)
         "dedup_exact_prefix": dedup.dedup_exact_prefix,        # D1 (dedup_exact_text)
         "dedup_clusters_exact": dedup.dedup_clusters_exact,    # (dedup_clusters)
+        "union_distinct": relational.union_distinct,          # D3 (distinct machinery of distinct_count; demoted r4)
+        "date_funcs": relational2.date_funcs,                 # §2.8 (string_funcs sibling; demoted r4)
+        "rolling_fingerprint": text.rolling_hash_fingerprint, # min-FNV (shared_passage_pairs winnowing sibling; demoted r4)
+        "media_resize_plan": multimodal.media_resize_plan,    # (media_features sibling; demoted r4)
         # --- round-3 additions: time joins (asof_join sits in-window above),
         #     pivot/rollup, histogram-sketch quantiles ---
         "count_group": relational.count_group,                # A1 (agg_q1)
@@ -956,6 +960,68 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id DESC LIMIT 10
+        """,
+        # batched multi-query brute force: same rounded-cosine window ordering
+        # as ann_topk, one rank window per query
+        "ann_topk_multi": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos
+                  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id DESC) AS rnk FROM s)
+            SELECT query_id, vec_id, cos, rnk FROM r WHERE rnk <= 5
+        """,
+        # Gopher-style repetition signals: word-2-gram counts per doc (split
+        # semantics = string_split(text, ' '), empties kept, same as engine)
+        "repetition_ngrams": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS k FROM w),
+            g AS (SELECT doc_id,
+                         ws[CAST(k AS INT)] || ' ' || ws[CAST(k + 1 AS INT)] AS gram
+                  FROM i),
+            c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            p AS (SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c)::BIGINT AS top_cnt,
+                         count(*)::BIGINT AS n_distinct
+                  FROM c GROUP BY 1)
+            SELECT doc_id, n_grams, top_cnt, n_distinct,
+                   CAST(top_cnt AS DOUBLE) / n_grams AS top_frac,
+                   CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_frac
+            FROM p
+        """,
+        # n-gram decontamination: corpus (source<>'src0') 5-grams vs the
+        # distinct 5-gram set of the benchmark split (source='src0')
+        "decontaminate_ngrams": """
+            WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+            i AS (SELECT doc_id, source, ws, unnest(range(1, len(ws) - 3)) AS k FROM w),
+            g AS (SELECT doc_id, source,
+                         ws[CAST(k AS INT)] || ' ' || ws[CAST(k + 1 AS INT)] || ' ' ||
+                         ws[CAST(k + 2 AS INT)] || ' ' || ws[CAST(k + 3 AS INT)] || ' ' ||
+                         ws[CAST(k + 4 AS INT)] AS gram
+                  FROM i),
+            b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+            c AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+            p AS (SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+                         count(b.gram)::BIGINT AS n_hit
+                  FROM c LEFT JOIN b USING (gram) GROUP BY 1)
+            SELECT doc_id, n_grams, n_hit,
+                   CAST(n_hit AS DOUBLE) / n_grams AS hit_frac
+            FROM p
+        """,
+        # per-doc top-3 terms by tf/df (exact-rational idf proxy; the rank
+        # window orders by the same IEEE double division the engine computes,
+        # term ASC tie-break)
+        "tfidf_top_terms": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rnk
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, rnk, term, tf, df FROM j WHERE rnk <= 3
         """,
         # as-of: latest click at-or-before each purchase per user; the window
         # replay (last_value IGNORE NULLS over the union, clicks ordered

@@ -354,3 +354,73 @@ def ann_pq_topk(
             "cos": pa.array(np.round(cos[order], 4)),
         }
     )
+
+
+def ann_topk_multi(sf_dir: str, query_vec_ids=(0, 1, 2, 3, 4, 5, 6, 7), k: int = 5):
+    """(query_id, vec_id, cos, rnk): batched multi-query brute-force cosine
+    top-k — ONE broadcast (q, d) query matrix (``ray.put`` once, read per
+    actor task), one matmul per batch scoring every query against the batch
+    at once, per-(batch, query) top-k partials, then a tiny per-query
+    finalize over q·k·n_batches partial rows. The standard serving shape for
+    embedding search: batch the queries, share the corpus scan — q queries
+    cost ~1 corpus pass, not q.
+
+    Ranking happens on the 4-decimal-rounded cosine (ties broken by vec_id
+    DESC) so the order is bit-identical to the SQL oracle's
+    ``round(list_cosine_similarity(...), 4)`` window."""
+    import ray
+    import ray.data as rd
+
+    qids = [int(q) for q in query_vec_ids]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", qids)],
+    )
+    got = tbl["vec_id"].to_numpy()
+    order = np.argsort(got)
+    Q = list_col_to_matrix(tbl["embedding"])[order]
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qid_arr = got[order].astype(np.int64)
+    ref = ray.put((qid_arr, Q))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qa, Qm = ray.get(ref)
+        M = list_col_to_matrix(t["embedding"])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(M @ Qm.T, 4)  # (n, q), oracle-rounded BEFORE ranking
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        oq, ov, oc = [], [], []
+        for j in range(len(qa)):
+            keep = ids != qa[j]
+            c, v = S[keep, j], ids[keep]
+            if len(c) > k:
+                # exact (cos DESC, vec_id DESC) top-k — ties at the boundary
+                # resolve identically to the oracle's window ordering
+                idx = np.lexsort((-v, -c))[:k]
+                c, v = c[idx], v[idx]
+            oq.append(np.full(len(v), qa[j], dtype=np.int64))
+            ov.append(v)
+            oc.append(c)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(oq)),
+                "vec_id": pa.array(np.concatenate(ov)),
+                "cos": pa.array(np.concatenate(oc)),
+            }
+        )
+
+    def finalize(df):
+        df = df.sort_values(
+            ["query_id", "cos", "vec_id"], ascending=[True, False, False], kind="stable"
+        )
+        df["rnk"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+        return df[df["rnk"] <= k][["query_id", "vec_id", "cos", "rnk"]]
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pandas")
+    )

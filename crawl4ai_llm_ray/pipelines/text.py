@@ -397,3 +397,212 @@ def rolling_hash_fingerprint(sf_dir: str):
         )
 
     return _read_docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+# ----------------------------------------------- word n-gram corpus operators
+def _word_ngrams_batch(text_col, n: int):
+    """Vectorized ``' '``-split word n-gram explode for one batch: returns
+    ``(doc_idx, grams)`` — per-gram batch-local row indices (int64) and an
+    object array of ``' '``-joined n-grams. Split semantics match DuckDB
+    ``string_split(text, ' ')`` exactly (empty words kept), so gram strings
+    are oracle-comparable. One Arrow split kernel + numpy offset arithmetic;
+    the only per-element work is the n-1 elementwise string concats."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    words = pc.split_pattern(text_col, " ")
+    flat = words.values.to_numpy(zero_copy_only=False)  # object array of words
+    offsets = words.offsets.to_numpy().astype(np.int64)  # absolute into flat
+    widths = np.diff(offsets)
+    g_counts = np.maximum(widths - (n - 1), 0)
+    total = int(g_counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    doc_idx = np.repeat(np.arange(len(widths), dtype=np.int64), g_counts)
+    # global flat position of each gram's first word
+    starts = np.repeat(offsets[:-1], g_counts)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(g_counts)[:-1]]), g_counts
+    )
+    p = starts + local
+    grams = flat[p]
+    for j in range(1, n):
+        grams = grams + " " + flat[p + j]
+    return doc_idx, grams
+
+
+def repetition_ngrams(sf_dir: str, n: int = 2):
+    """(doc_id, n_grams, top_cnt, n_distinct, top_frac, dup_frac): Gopher-style
+    per-document repetition signals over word n-grams — the fraction of all
+    n-grams taken by the most frequent one (top_frac) and the duplicated-gram
+    fraction (dup_frac), the two signals corpus-curation recipes threshold to
+    drop boilerplate/looping documents. Per-doc signals are batch-local, so
+    this is a pure map stage (no shuffle at ANY corpus size). Fractions are
+    single IEEE divisions of exact ints — bit-identical to the SQL oracle.
+    Docs with fewer than n words emit no row (the oracle drops them too)."""
+    ds = _read_docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        di, grams = _word_ngrams_batch(t["text"], n)
+        nd = t.num_rows
+        if len(di) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "top_cnt": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "top_frac": pa.array([], pa.float64()),
+                    "dup_frac": pa.array([], pa.float64()),
+                }
+            )
+        # one vectorized (doc, gram) -> count pass; index is sorted by doc
+        cnt_s = pd.DataFrame({"d": di, "g": grams}).groupby(["d", "g"]).size()
+        lvl = cnt_s.index.get_level_values(0).to_numpy()
+        cnt = cnt_s.to_numpy()
+        n_grams = np.bincount(di, minlength=nd).astype(np.int64)
+        n_distinct = np.bincount(lvl, minlength=nd).astype(np.int64)
+        top = np.zeros(nd, dtype=np.int64)
+        np.maximum.at(top, lvl, cnt)
+        keep = n_grams > 0
+        denom = np.maximum(n_grams, 1).astype(np.float64)
+        tbl = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n_grams),
+                "top_cnt": pa.array(top),
+                "n_distinct": pa.array(n_distinct),
+                "top_frac": pa.array(top.astype(np.float64) / denom),
+                "dup_frac": pa.array((n_grams - n_distinct).astype(np.float64) / denom),
+            }
+        )
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def decontaminate_ngrams(sf_dir: str, n: int = 5, benchmark_source: str = "src0"):
+    """(doc_id, n_grams, n_hit, hit_frac): train/test decontamination — for
+    every corpus document (source != benchmark_source), the fraction of its
+    word n-grams that also occur anywhere in the benchmark split (source ==
+    benchmark_source). The standard n-gram-overlap contamination check run
+    before training on scraped corpora.
+
+    Scale shape: the benchmark side is a benchmark *suite* — small by
+    contract — so its distinct-gram set is built dataset-side (per-batch
+    distinct, predicate-pushdown read of only the benchmark rows), unioned
+    once on the driver, and broadcast via ``ray.put`` (read per actor task,
+    never re-shipped per batch). The corpus side is a pure map stage:
+    explode + set membership + bincount per batch. If the benchmark outgrew
+    worker memory the same op becomes a hash-partitioned semi-join on the
+    gram (the dedup_exact_text shuffle shape); membership is exact on gram
+    STRINGS (no hash-collision exposure)."""
+    import ray
+    import ray.data as rd
+
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filter=(pc.field("source") == benchmark_source),
+    )
+
+    def gram_batch(t: pa.Table) -> pa.Table:
+        _, grams = _word_ngrams_batch(t["text"], n)
+        u = np.unique(grams) if len(grams) else grams
+        return pa.table({"gram": pa.array(u, type=pa.string())})
+
+    parts = bench.map_batches(gram_batch, batch_format="pyarrow").take_all()
+    bench_set = frozenset(r["gram"] for r in parts)
+    ref = ray.put(bench_set)
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=(pc.field("source") != benchmark_source),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        di, grams = _word_ngrams_batch(t["text"], n)
+        nd = t.num_rows
+        n_grams = np.bincount(di, minlength=nd).astype(np.int64)
+        if len(di):
+            hit = pd.Series(grams).isin(bs).to_numpy()
+            n_hit = np.bincount(di[hit], minlength=nd).astype(np.int64)
+        else:
+            n_hit = np.zeros(nd, dtype=np.int64)
+        keep = n_grams > 0
+        denom = np.maximum(n_grams, 1).astype(np.float64)
+        tbl = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n_grams),
+                "n_hit": pa.array(n_hit),
+                "hit_frac": pa.array(n_hit.astype(np.float64) / denom),
+            }
+        )
+        return tbl.filter(pa.array(keep))
+
+    return corpus.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 32):
+    """(doc_id, rnk, term, tf, df): per-document top-k salient terms ranked by
+    tf/df (idf as the exact rational N/df — log is monotone in it, so the
+    ordering equals tf·idf ordering per fixed tf only; here the *score* is
+    tf/df itself, computed as one IEEE double division, which both engine and
+    DuckDB round identically — ties break on the term string). Keyword
+    extraction, the corpus-wide-statistics member of the text suite.
+
+    Scale shape: two partitioned shuffles and NO join — (doc, term, tf) rows
+    are hash-partitioned BY TERM so each term's document frequency is
+    computed co-located and attached in place (a transform, not a join), then
+    re-partitioned by doc for the per-doc top-k. Both shuffle payloads are
+    narrow (ids + one term string + two ints); per-partition work is
+    vectorized pandas groupby (the partition-group pattern — map_groups
+    stays at P groups, never at term/doc cardinality)."""
+    from ..functions.hashing import fnv1a64
+
+    ds = _read_docs(sf_dir)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        # docs are batch-local, so per-doc tf is complete within the batch
+        di, words = _word_ngrams_batch(t["text"], 1)
+        cnt_s = pd.DataFrame({"d": di, "term": words}).groupby(["d", "term"]).size()
+        d_l = cnt_s.index.get_level_values(0).to_numpy()
+        terms = cnt_s.index.get_level_values(1).to_numpy(dtype=object)
+        term_arr = pa.array(terms, type=pa.string())
+        part = (fnv1a64(term_arr) % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], pa.array(d_l)),
+                "term": term_arr,
+                "tf": pa.array(cnt_s.to_numpy().astype(np.int64)),
+                "part": pa.array(part),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, term) pairs; this partition holds ALL rows
+        # of each of its terms, so the group size IS the document frequency
+        df = df.drop(columns=["part"])
+        df["df"] = df.groupby("term")["doc_id"].transform("size").astype(np.int64)
+        df["dp"] = (df["doc_id"].to_numpy() % num_partitions).astype(np.int64)
+        return df
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["dp"]).copy()
+        df["score"] = df["tf"].to_numpy().astype(np.float64) / df["df"].to_numpy()
+        df = df.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="stable"
+        )
+        df["rnk"] = (df.groupby("doc_id").cumcount() + 1).astype(np.int64)
+        df = df[df["rnk"] <= k]
+        return df[["doc_id", "rnk", "term", "tf", "df"]]
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("dp")
+        .map_groups(topk, batch_format="pandas")
+    )

@@ -1,0 +1,125 @@
+"""Round-4 text/ANN additions: word-n-gram explode helper, Gopher repetition
+signals, n-gram decontamination, tf-idf top terms, batched multi-query ANN."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(result) -> pd.DataFrame:
+    return result if isinstance(result, pd.DataFrame) else result.to_pandas()
+
+
+def test_word_ngrams_batch_matches_naive():
+    from crawl4ai_llm_ray.pipelines.text import _word_ngrams_batch
+
+    texts = ["a b c d", "x", "", "p q p q", "one two"]
+    for n in (1, 2, 3):
+        di, grams = _word_ngrams_batch(pa.array(texts), n)
+        expect = []
+        for i, t in enumerate(texts):
+            ws = t.split(" ")  # string_split semantics: '' -> ['']
+            for j in range(len(ws) - n + 1):
+                expect.append((i, " ".join(ws[j : j + n])))
+        assert list(zip(di.tolist(), grams.tolist())) == expect
+
+
+def test_word_ngrams_batch_sliced_input():
+    """Offsets math must hold on a sliced (non-zero-offset) Arrow array."""
+    from crawl4ai_llm_ray.pipelines.text import _word_ngrams_batch
+
+    arr = pa.array(["junk junk", "a b c", "d e"])[1:]
+    di, grams = _word_ngrams_batch(arr, 2)
+    assert list(zip(di.tolist(), grams.tolist())) == [
+        (0, "a b"),
+        (0, "b c"),
+        (1, "d e"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_ngrams_hand_values(tmp_path):
+    from crawl4ai_llm_ray.pipelines.text import repetition_ngrams
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # doc1: grams [a b, b a, a b] -> n=3 top=2 distinct=2
+            # doc2: all distinct; doc3: single word -> dropped
+            "text": pa.array(["a b a b", "x y z", "solo"]),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = _df(repetition_ngrams(str(tmp_path))).sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_grams"].tolist() == [3, 2]
+    assert out["top_cnt"].tolist() == [2, 1]
+    assert out["n_distinct"].tolist() == [2, 2]
+    assert out["top_frac"].tolist() == [2 / 3, 1 / 2]
+    assert out["dup_frac"].tolist() == [1 / 3, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_ngrams_hand_values(tmp_path):
+    from crawl4ai_llm_ray.pipelines.text import decontaminate_ngrams
+
+    bench_text = "one two three four five six"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["bench", "train"]),
+            # train doc shares exactly the 5-gram "two three four five six"
+            "text": pa.array([bench_text, "zz two three four five six zz"]),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = _df(decontaminate_ngrams(str(tmp_path), n=5, benchmark_source="bench"))
+    assert out["doc_id"].tolist() == [2]
+    assert out["n_grams"].tolist() == [3]
+    assert out["n_hit"].tolist() == [1]
+    assert out["hit_frac"].tolist() == [1 / 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_rare_term_outranks_common(tmp_path):
+    from crawl4ai_llm_ray.pipelines.text import tfidf_top_terms
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "common rare common",  # rare: tf1/df1=1 > common: tf2/df3
+                    "common filler filler",
+                    "common other words here",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = _df(tfidf_top_terms(str(tmp_path), k=2)).sort_values(["doc_id", "rnk"])
+    d1 = out[out["doc_id"] == 1]
+    assert d1["term"].tolist() == ["rare", "common"]
+    assert d1["tf"].tolist() == [1, 2]
+    assert d1["df"].tolist() == [1, 3]
+    # every doc contributes exactly k ranks 1..k
+    assert out.groupby("doc_id")["rnk"].apply(list).map(lambda x: x == [1, 2]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_topk_multi_agrees_with_single():
+    from crawl4ai_llm_ray.pipelines.ann import ann_topk, ann_topk_multi
+
+    multi = _df(ann_topk_multi(SF, query_vec_ids=(0, 3), k=5))
+    single0 = _df(ann_topk(SF, query_vec_id=0, k=5))
+    m0 = multi[multi["query_id"] == 0].sort_values("rnk")
+    assert m0["vec_id"].tolist() == single0["vec_id"].tolist()
+    assert np.allclose(m0["cos"].to_numpy(), single0["cos"].to_numpy())
+    # both queries present, k rows each, ranks well-formed
+    assert sorted(multi["query_id"].unique()) == [0, 3]
+    assert (multi.groupby("query_id")["rnk"].max() == 5).all()
+    assert len(multi) == 10
