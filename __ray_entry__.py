@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
         "extract_products": extract.extract_products,          # selector-spec extraction (reference README:11-12)
+        "crawl_pagerank": crawl_queries.crawl_pagerank,       # integer fixed-point PageRank over the link graph (new in r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -72,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_3way_topk": relational2.join_3way_topk,
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
         "distinct_count": relational2.distinct_count,
-        "string_funcs": relational2.string_funcs,             # §2.8
         "sessionize": relational2.sessionize,                 # §2.9
         "token_count_bpe": relational2.token_count_bpe,
         "topk_per_group": relational3.topk_per_group,
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_funcs": relational2.date_funcs,                 # §2.8 (string_funcs sibling; demoted r4)
         "rolling_fingerprint": text.rolling_hash_fingerprint, # min-FNV (shared_passage_pairs winnowing sibling; demoted r4)
         "media_resize_plan": multimodal.media_resize_plan,    # (media_features sibling; demoted r4)
+        "string_funcs": relational2.string_funcs,             # §2.8 F1 (key_derivation machinery; demoted r4)
         # --- round-3 additions: time joins (asof_join sits in-window above),
         #     pivot/rollup, histogram-sketch quantiles ---
         "count_group": relational.count_group,                # A1 (agg_q1)
@@ -325,6 +326,19 @@ def oracle_sql() -> dict[str, str]:
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     fnv_text = _fnv_sql("text")
     crawl_docs = f"read_parquet('{CRAWL_OUT}/docs/*/*.parquet')"
+    # PageRank iteration chain (exact integer fixed-point: base 150000 =
+    # (1e6 * 15) // 100, contrib = pr // outdeg, pr' = base + 85*inflow//100
+    # — all floor divisions, so sum order cannot matter and the engine's
+    # distributed rounds replay bit-identically)
+    pr_iters = "".join(
+        f""",
+            r{i} AS (SELECT n.node, 150000 + (85 * COALESCE(s.c, 0)) // 100 AS pr
+                     FROM nodes n LEFT JOIN (
+                        SELECT e.dst AS node, sum(r{i - 1}.pr // e.outdeg) AS c
+                        FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src GROUP BY 1) s
+                     USING (node))"""
+        for i in range(1, 6)
+    )
     # MinHash+LSH twin: same shingles → 64 seeded-splitmix minhashes →
     # 8 band-hash folds → bucket-collision candidates → exact-Jaccard verify;
     # integer-exact end to end, so rows match the engine bit-for-bit
@@ -1081,6 +1095,40 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM t GROUP BY 1
             ORDER BY n_refs DESC, n_docs DESC, target LIMIT 10
+        """,
+        # PageRank over the fetched-page link graph: the crawl_link_popularity
+        # canonicalization chain with src = the linking page's url_canon,
+        # induced-subgraph edges (dst must be a fetched node), then 5 exact
+        # integer iterations (pr_iters above)
+        "crawl_pagerank": f"""
+            WITH docs AS (SELECT url_canon, spans FROM {crawl_docs}),
+            nodes AS (SELECT DISTINCT url_canon AS node FROM docs),
+            l AS (SELECT url_canon AS src, s.media_ref AS ref
+                  FROM (SELECT url_canon, unnest(spans) AS s FROM docs)
+                  WHERE s.kind = 'link'),
+            c1 AS (SELECT src, regexp_replace(ref, '#.*$', '') AS u FROM l),
+            c2 AS (SELECT src,
+                          lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                          regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                          regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+                   FROM c1),
+            c3 AS (SELECT src, regexp_replace(rawhost, ':80$', '') AS host,
+                          CASE WHEN rawpath = '' THEN '/'
+                               WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                               THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                          CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                          END AS q
+                   FROM c2),
+            t AS (SELECT src, 'http://' || host || path || q AS dst FROM c3),
+            edges AS (SELECT DISTINCT t.src, t.dst
+                      FROM t JOIN nodes ON t.dst = nodes.node
+                      WHERE t.src <> t.dst),
+            deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+            e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+            r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes){pr_iters}
+            SELECT node AS url, pr::BIGINT AS pr FROM r5
+            ORDER BY pr DESC, url LIMIT 20
         """,
         "left_join_counts": """
             SELECT c.c_custkey, c.c_mktsegment,

@@ -352,3 +352,87 @@ def crawl_seen_set(sf_dir: str = ""):
     t = pq.read_table(os.path.join(out, "seen"), columns=["url_hash"])
     idx = pa.compute.sort_indices(t, sort_keys=[("url_hash", "ascending")])
     return pa.table({"url_hash": t["url_hash"].take(idx).cast(pa.uint64())})
+
+
+def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
+    """(url, pr): integer fixed-point PageRank over the fetched-page link
+    graph, top-k by (pr DESC, url ASC). Nodes are the crawled pages
+    (url_canon); edges are their link spans canonicalized with the same
+    frontier kernel and restricted to targets that were themselves fetched
+    (the induced subgraph — out-degree counts only those edges, so rank mass
+    routes to real pages). 5 rounds of the exact-arithmetic Pregel loop in
+    :func:`~.graph.pagerank`; every step bit-identical to the SQL replay.
+
+    Scale shape: edge distinct + out-degree happen in ONE partitioned pass
+    (all copies of a (src, dst) edge share the src hash, so drop_duplicates
+    and the degree transform are partition-local — no join); the dst∈nodes
+    restriction is a partitioned hash semi-join; each PageRank round is a
+    narrow (src, dst, outdeg)⋈(node, pr) join plus a (node, inflow) sum."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64
+    from ..functions.urlnorm import canonicalize_urls
+    from .graph import pagerank
+
+    out = ensure_crawl()
+
+    nodes = read_docs(out).select_columns(["url_canon"]).map_batches(
+        lambda t: pa.table({"node": t["url_canon"]}), batch_format="pyarrow"
+    )
+
+    def links(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices()
+        vals = spans.values
+        mask = pc.equal(vals.field("kind"), "link")
+        refs = vals.field("media_ref").filter(mask)
+        urls = t["url_canon"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        src = urls.take(parent.filter(mask))
+        dst = canonicalize_urls(refs)
+        ok = pc.is_valid(dst)
+        src, dst = src.filter(ok), dst.filter(ok)
+        keep = pc.not_equal(src, dst)  # no self-loops
+        return pa.table({"src": src.filter(keep), "dst": dst.filter(keep)})
+
+    raw = read_docs(out).select_columns(["url_canon", "spans"]).map_batches(
+        links, batch_format="pyarrow"
+    )
+    # induced subgraph: keep edges whose target was actually fetched
+    fetched = raw.join(
+        nodes,
+        join_type="inner",
+        num_partitions=_N_PARTITIONS,
+        on=("dst",),
+        right_on=("node",),
+    ).select_columns(["src", "dst"])
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ep", pa.array((fnv1a64(t["src"]) % np.uint64(16)).astype(np.int64))
+        )
+
+    def dedup_deg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src", "dst"])[["src", "dst"]].copy()
+        df["outdeg"] = df.groupby("src")["dst"].transform("size").astype(np.int64)
+        return df
+
+    edges = (
+        fetched.map_batches(part, batch_format="pyarrow")
+        .groupby("ep")
+        .map_groups(dedup_deg, batch_format="pandas")
+    )
+
+    ranks = pagerank(edges, nodes, iters=iters)
+
+    def out_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["node"], "pr": t["pr"]})
+
+    return (
+        ranks.map_batches(out_cols, batch_format="pyarrow")
+        .sort(["pr", "url"], descending=[True, False])
+        .limit(k)
+    )

@@ -123,3 +123,51 @@ def test_ann_topk_multi_agrees_with_single():
     assert sorted(multi["query_id"].unique()) == [0, 3]
     assert (multi.groupby("query_id")["rnk"].max() == 5).all()
     assert len(multi) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_golden_graph():
+    """Hand-built 4-node graph vs a serial numpy reference of the exact
+    integer recurrence."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.graph import pagerank
+
+    # a->b, a->c, b->c, c->a, d dangling
+    names = ["a", "b", "c", "d"]
+    srcs, dsts = ["a", "a", "b", "c"], ["b", "c", "c", "a"]
+    deg = {"a": 2, "b": 1, "c": 1}
+    edges = rd.from_items(
+        [{"src": s, "dst": d, "outdeg": deg[s]} for s, d in zip(srcs, dsts)]
+    )
+    nodes = rd.from_items([{"node": n} for n in names])
+    got = (
+        pagerank(edges, nodes, iters=5)
+        .to_pandas()
+        .set_index("node")["pr"]
+        .to_dict()
+    )
+    r = {n: 1_000_000 for n in names}
+    for _ in range(5):
+        inflow = {n: 0 for n in names}
+        for s, d in zip(srcs, dsts):
+            inflow[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * inflow[n]) // 100 for n in names}
+    assert got == r
+    # dangling node decays to the base-only fixpoint
+    assert got["d"] == 150_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_empty_edges():
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.graph import pagerank
+
+    nodes = rd.from_items([{"node": "x"}, {"node": "y"}])
+    edges = rd.from_items([]).map_batches(
+        lambda df: pd.DataFrame({"src": [], "dst": [], "outdeg": []}),
+        batch_format="pandas",
+    )
+    got = pagerank(edges, nodes, iters=3).to_pandas()
+    assert sorted(got["pr"].tolist()) == [150_000, 150_000]
