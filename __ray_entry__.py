@@ -72,13 +72,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_filter": relational.json_filter,                # M4 dot-notation
         "join_3way_topk": relational2.join_3way_topk,
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
+        "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill (new in r4)
         "distinct_count": relational2.distinct_count,
         "sessionize": relational2.sessionize,                 # §2.9
         "token_count_bpe": relational2.token_count_bpe,
         "topk_per_group": relational3.topk_per_group,
         "quantiles_per_group": relational3.quantiles_per_group,
         "corr_per_group": relational3.corr_per_group,
-        "rolling_mean": relational3.rolling_mean,
         "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
         "approx_quantiles_hist": relational4.approx_quantiles_hist,  # mergeable-histogram sketch (rotated in r4)
         # --- text analysis ---
@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": text.rolling_hash_fingerprint, # min-FNV (shared_passage_pairs winnowing sibling; demoted r4)
         "media_resize_plan": multimodal.media_resize_plan,    # (media_features sibling; demoted r4)
         "string_funcs": relational2.string_funcs,             # §2.8 F1 (key_derivation machinery; demoted r4)
+        "rolling_mean": relational3.rolling_mean,             # ordered window (window_sliding/sessionize machinery; demoted r4)
         # --- round-3 additions: time joins (asof_join sits in-window above),
         #     pivot/rollup, histogram-sketch quantiles ---
         "count_group": relational.count_group,                # A1 (agg_q1)
@@ -1129,6 +1130,18 @@ def oracle_sql() -> dict[str, str]:
             r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes){pr_iters}
             SELECT node AS url, pr::BIGINT AS pr FROM r5
             ORDER BY pr DESC, url LIMIT 20
+        """,
+        "full_outer_activity": """
+            WITH ev AS (SELECT user_id, count(*)::BIGINT AS n_events,
+                               max(value) AS vmax
+                        FROM events GROUP BY 1),
+            c AS (SELECT c_custkey, c_mktsegment FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+            SELECT COALESCE(c.c_custkey, ev.user_id)::BIGINT AS key,
+                   COALESCE(c.c_mktsegment, 'unregistered') AS segment,
+                   COALESCE(ev.n_events, 0)::BIGINT AS n_events,
+                   COALESCE(ev.vmax, 0.0) AS vmax
+            FROM c FULL OUTER JOIN ev ON c.c_custkey = ev.user_id
         """,
         "left_join_counts": """
             SELECT c.c_custkey, c.c_mktsegment,

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join_count",
     "shared_passage_pairs",
+    "tfidf_top_terms",       # r4: corpus-df keyword extraction (2 narrow shuffles)
+    "decontaminate_ngrams",  # r4: broadcast benchmark-gram membership
 ]
 
 

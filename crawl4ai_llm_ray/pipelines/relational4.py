@@ -798,3 +798,104 @@ def rollup_orders(sf_dir: str):
         sums={"n": "n", "total": "total"},
         finalize=finalize,
     )
+
+
+def full_outer_activity(sf_dir: str, n_agg_parts: int = 16):
+    """FULL OUTER join with both-sides fill: registered customers vs active
+    event users on the shared key domain — customers with no events keep
+    n_events=0, event users with no customer row surface as 'unregistered'.
+    Completes the join-type family (inner/semi/anti/broadcast/left live in
+    relational.py / left_join_counts).
+
+    Shape: the events side is pre-aggregated to one narrow row per user
+    (combiner partials → partitioned sum/max) BEFORE the join, so the
+    full-outer shuffle joins key-sized tables; per-user max(value) is the
+    order-independent float aggregate (a sum's addition order would drift
+    between engine and oracle). Join width sized to the CPU budget (one
+    aggregator actor per partition)."""
+    import ray
+
+    import pyarrow.parquet as pq_mod
+
+    n_join_parts = max(2, min(n_agg_parts, int(ray.cluster_resources().get("CPU", 8))))
+    # one segment only, so BOTH outer sides are exercised on real data:
+    # segment customers without events (left-only) AND active users outside
+    # the segment (right-only) both appear
+    import pyarrow.compute as _pc
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(_pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            n=("event_id", "size"), vmax=("value", "max")
+        )
+        g["kp"] = g["user_id"] % n_agg_parts
+        return g
+
+    def agg_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), vmax=("vmax", "max")
+        )
+
+    ev_empty = pq_mod.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows == 0
+    cust_empty = pq_mod.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows == 0
+
+    if ev_empty:
+
+        def cust_only(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["c_custkey"].to_numpy(),
+                    "segment": df["c_mktsegment"].to_numpy(),
+                    "n_events": np.zeros(len(df), np.int64),
+                    "vmax": np.zeros(len(df), np.float64),
+                }
+            )
+
+        return cust.map_batches(cust_only, batch_format="pandas")
+
+    per_user = (
+        _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+        .map_batches(agg_partial, batch_format="pandas", batch_size=65536)
+        .groupby("kp")
+        .map_groups(agg_combine, batch_format="pandas")
+    )
+
+    if cust_empty:
+
+        def ev_only(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["user_id"].to_numpy(),
+                    "segment": np.full(len(df), "unregistered", dtype=object),
+                    "n_events": df["n"].to_numpy(dtype=np.int64),
+                    "vmax": df["vmax"].to_numpy(dtype=np.float64),
+                }
+            )
+
+        return per_user.map_batches(ev_only, batch_format="pandas")
+
+    joined = cust.join(
+        per_user,
+        join_type="full_outer",
+        num_partitions=n_join_parts,
+        on=("c_custkey",),
+        right_on=("user_id",),
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's outer join coalesces the two key columns into the LEFT key
+        # name, so c_custkey is already non-null on right-only rows
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].to_numpy(dtype=np.int64),
+                "segment": df["c_mktsegment"].fillna("unregistered").to_numpy(),
+                "n_events": df["n"].fillna(0).to_numpy(dtype=np.int64),
+                "vmax": df["vmax"].fillna(0.0).to_numpy(dtype=np.float64),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")

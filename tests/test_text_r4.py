@@ -171,3 +171,18 @@ def test_pagerank_empty_edges():
     )
     got = pagerank(edges, nodes, iters=3).to_pandas()
     assert sorted(got["pr"].tolist()) == [150_000, 150_000]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_outer_activity_covers_all_three_cases():
+    from crawl4ai_llm_ray.pipelines.relational4 import full_outer_activity
+
+    out = _df(full_outer_activity(SF))
+    seg = out["segment"]
+    both_or_left = out[(seg == "BUILDING")]
+    right_only = out[seg == "unregistered"]
+    assert len(right_only) > 0          # active users outside the segment
+    assert (both_or_left["n_events"] == 0).any()   # customers with no events
+    assert (both_or_left["n_events"] > 0).any()    # matched rows
+    assert (right_only["n_events"] > 0).all()
+    assert out["key"].is_unique
