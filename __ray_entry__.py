@@ -73,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_3way_topk": relational2.join_3way_topk,
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
         "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill (new in r4)
-        "distinct_count": relational2.distinct_count,
         "sessionize": relational2.sessionize,                 # §2.9
         "token_count_bpe": relational2.token_count_bpe,
         "topk_per_group": relational3.topk_per_group,
@@ -88,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (new in r4)
         "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
         "tfidf_top_terms": text.tfidf_top_terms,               # corpus-df keyword extraction (new in r4)
+        "bm25_topk": text.bm25_topk,                           # ranked keyword retrieval, two-pass corpus stats (new in r4)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; both sampling twins — random_sample and deterministic_sample — sit in the tail since r4)
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
@@ -100,8 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup_clusters": dedup.embed_dedup_clusters,    # SemDeDup-shape semantic clusters (rotated in r4)
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
-        "ann_topk_multi": ann.ann_topk_multi,                  # batched multi-query serving shape (new in r4)
         "ann_ivf_topk": ann.ann_ivf_topk,                      # SQL IVF twin
+        "kmeans_embed": ann.kmeans_embed,                      # exact fixed-point Lloyd's, unrolled-SQL oracle (new in r4; ann_topk_multi and distinct_count moved to the tail)
         # --- multimodal (stubbed decode, real plumbing) ---
         "media_features": multimodal.media_features,           # SQL oracle (byte stats)
         "text_embeddings": multimodal.text_embeddings,         # full-model SQL twin
@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     rotation moved regional_revenue / approx_quantiles_hist /
         #     embed_dedup_clusters / extract_products INTO the window and
         #     these same-machinery variants out) ---
+        "crawl_span_signature": crawl_queries.crawl_span_signature,  # ordered span-kind collect over the interleaved payload (new in r4)
+        "crawl_host_url_list": crawl_queries.crawl_host_url_list,    # per-host ordered string_agg roster (new in r4)
+        "ann_topk_multi": ann.ann_topk_multi,                  # batched multi-query serving shape (ann_topk sibling; demoted r4)
+        "distinct_count": relational2.distinct_count,          # (exact twin of approx_distinct_hll; demoted r4)
         "having_filter": relational2.having_filter,            # A1 (agg_q1 variant)
         "case_when_agg": relational2.case_when_agg,            # A1 (agg_q1 variant)
         "random_sample": text.random_sample,                   # (deterministic_sample twin)
@@ -327,6 +331,52 @@ def oracle_sql() -> dict[str, str]:
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     fnv_text = _fnv_sql("text")
     crawl_docs = f"read_parquet('{CRAWL_OUT}/docs/*/*.parquet')"
+    # BM25: tf per fixed query term via list_filter, df/N/avgdl from one
+    # stats row, score as an explicit left-associated + chain (same fp
+    # summation order as the engine's accumulator loop), round(4) like the
+    # cosine family
+    bm25_terms = ("customer", "vector", "hash", "stream")
+    bm25_tf = ",\n                   ".join(
+        f"len(list_filter(ws, w -> w = '{t}'))::BIGINT AS tf{j}"
+        for j, t in enumerate(bm25_terms)
+    )
+    bm25_df = ", ".join(
+        f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{j}"
+        for j in range(len(bm25_terms))
+    )
+    bm25_score = " + ".join(
+        f"ln(1 + (s.n - s.df{j} + 0.5) / (s.df{j} + 0.5))"
+        f" * (d.tf{j} * (1.2 + 1))"
+        f" / (d.tf{j} + 1.2 * (1 - 0.75 + 0.75 * d.dl"
+        f" / (CAST(s.sum_dl AS DOUBLE) / s.n)))"
+        for j in range(len(bm25_terms))
+    )
+    # k-means: 3 unrolled Lloyd's iterations in exact int64 fixed point.
+    # Quantization (floor(x*1e6 + 0.5)), squared-distance assignment
+    # (argmin via row_number ORDER BY dist, cid), and the
+    # subtract-nonneg-mod floor division for centroid updates are each in
+    # literal lockstep with quantize_embeddings/_exact_div/assign in
+    # pipelines/ann.py; an emptied cluster keeps its previous centroid
+    # (COALESCE over the LEFT JOIN).
+    km_iters = "".join(
+        f""",
+            a{i} AS (SELECT q.vec_id, c.cid,
+                            sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+                     FROM q JOIN c{i - 1} c USING (dim) GROUP BY 1, 2),
+            g{i} AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid, row_number() OVER (
+                            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                        FROM a{i}) WHERE rn = 1),
+            s{i} AS (SELECT g.cid, q.dim, count(*)::BIGINT AS cnt,
+                            sum(q.xq)::BIGINT AS sm
+                     FROM q JOIN g{i} g USING (vec_id) GROUP BY 1, 2),
+            c{i} AS (SELECT c.cid, c.dim,
+                            COALESCE((s.sm - ((s.sm % s.cnt) + s.cnt) % s.cnt)
+                                     // s.cnt, c.cq) AS cq
+                     FROM c{i - 1} c LEFT JOIN s{i} s
+                       ON s.cid = c.cid AND s.dim = c.dim)"""
+        for i in range(1, 4)
+    )
     # PageRank iteration chain (exact integer fixed-point: base 150000 =
     # (1e6 * 15) // 100, contrib = pr // outdeg, pr' = base + 85*inflow//100
     # — all floor divisions, so sum order cannot matter and the engine's
@@ -1038,6 +1088,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rnk, term, tf, df FROM j WHERE rnk <= 3
         """,
+        # BM25 ranked retrieval for a fixed query-term bag; score chain is
+        # left-associated in the engine's term order, rounded to 4 decimals
+        # before ranking (ties → doc_id ASC)
+        "bm25_topk": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            d AS (SELECT doc_id, len(ws)::BIGINT AS dl,
+                   {bm25_tf}
+                  FROM w),
+            s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl,
+                         {bm25_df}
+                  FROM d)
+            SELECT d.doc_id, round({bm25_score}, 4) AS score
+            FROM d, s
+            ORDER BY score DESC, d.doc_id LIMIT 10
+        """,
+        # exact fixed-point Lloyd's k-means (3 iterations unrolled), final
+        # assignment against the round-3 centroids
+        "kmeans_embed": f"""
+            WITH v AS (SELECT vec_id, unnest(embedding) AS x,
+                              unnest(range(1, len(embedding) + 1)) AS dim
+                       FROM embeddings),
+            q AS (SELECT vec_id, dim,
+                         CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+                  FROM v),
+            c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM q WHERE vec_id < 4){km_iters},
+            a4 AS (SELECT q.vec_id, c.cid,
+                          sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+                   FROM q JOIN c3 c USING (dim) GROUP BY 1, 2),
+            g4 AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                      FROM a4) WHERE rn = 1)
+            SELECT vec_id, cid::BIGINT AS cluster FROM g4
+        """,
         # as-of: latest click at-or-before each purchase per user; the window
         # replay (last_value IGNORE NULLS over the union, clicks ordered
         # before purchases at equal ts, max event_id on ts ties) is the exact
@@ -1185,6 +1269,22 @@ def oracle_sql() -> dict[str, str]:
                    max(wave)::BIGINT AS last_wave,
                    sum(n_links)::BIGINT AS n_links_out
             FROM l GROUP BY host
+        """,
+        # ordered collect of span kinds in physical span order (list order is
+        # preserved by list_transform / array_to_string)
+        "crawl_span_signature": f"""
+            SELECT doc_id, len(spans)::BIGINT AS n_spans,
+                   COALESCE(array_to_string(list_transform(spans, s -> s.kind), ','),
+                            '') AS sig
+            FROM {crawl_docs}
+        """,
+        # per-host sorted URL roster: string_agg with an explicit ORDER BY —
+        # the ordered-collect_list shape
+        "crawl_host_url_list": f"""
+            SELECT host, count(*)::BIGINT AS n_urls,
+                   string_agg(url_canon, ',' ORDER BY url_canon) AS urls
+            FROM {crawl_docs}
+            GROUP BY host
         """,
         "regional_revenue": """
             SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

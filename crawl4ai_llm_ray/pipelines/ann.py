@@ -424,3 +424,119 @@ def ann_topk_multi(sf_dir: str, query_vec_ids=(0, 1, 2, 3, 4, 5, 6, 7), k: int =
         .groupby("query_id")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def quantize_embeddings(col) -> np.ndarray:
+    """list<float> column → (n, d) int64 fixed-point matrix, the exact
+    lockstep of the oracle's ``CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)``
+    (half-up, NOT banker's rounding — np.round would diverge from SQL at
+    .5 boundaries). float32 → float64 is exact, so both sides quantize the
+    same doubles."""
+    M = list_col_to_matrix(col)  # float64, exact widening of float32
+    return np.floor(M * 1000000.0 + 0.5).astype(np.int64)
+
+
+def _exact_div(sums: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Floor-division written as the subtract-nonneg-mod form that is
+    semantics-identical in numpy and DuckDB regardless of each side's
+    truncation convention: (s - ((s % c) + c) % c) is exactly divisible by
+    c, so the final division is exact integer arithmetic on both sides."""
+    nnmod = ((sums % counts) + counts) % counts
+    return (sums - nnmod) // counts
+
+
+def kmeans_embed(sf_dir: str, k: int = 4, iters: int = 3, batch_size: int = 4096):
+    """(vec_id, cluster): Lloyd's k-means over the embedding column in
+    EXACT integer fixed-point arithmetic — quantize once (1e-6 grid), all
+    distances / centroid sums are int64, centroid update is exact floor
+    division — so the result is bit-deterministic under any batch order /
+    parallelism AND replayable centroid-by-centroid in SQL (the same reason
+    crawl_pagerank runs fixed-point: float partial sums are
+    reduction-order-dependent, which would break both determinism and the
+    oracle). Init = the quantized vectors of vec_id 0..k-1; ties in the
+    assignment argmin break to the lowest cluster id; an emptied cluster
+    keeps its previous centroid.
+
+    Scale shape (the canonical distributed Lloyd's): each iteration is ONE
+    streaming ``map_batches`` pass over the corpus — the (k, d) centroid
+    matrix rides in the task closure (~k·d·8 B, broadcast once per task, not
+    per row), each batch emits k partial rows of (count, per-dim sums), and
+    the merge is a single tiny task over k·n_batches narrow rows (never a
+    wide shuffle; cluster count is model-sized, not data-sized).
+    Re-scanning the corpus per iteration is the standard k-means tradeoff;
+    the scan is column-pruned to (vec_id, embedding). Memory: the per-batch
+    (B, k, d) int64 distance tensor is ~2 MB at B=4096, k=4, d=64 — sized by
+    ``batch_size``.
+
+    Distance values fit int64 by construction: |xq| ≤ ~1e6 ⇒ per-dim square
+    ≤ ~4e12, × d=64 ≪ 2^63; centroid sums need n_members·1e6 < 2^63 ⇒ safe
+    to ~9e12 members per cluster."""
+    import ray.data as rd
+
+    def load():
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    # init: point-read the first k vectors (predicate pushdown, never the
+    # full table)
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    tbl = tbl.sort_by("vec_id")
+    C = quantize_embeddings(tbl["embedding"])  # (k, d)
+    d = C.shape[1]
+
+    def assign(X: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        diff = X[:, None, :] - C_[None, :, :]  # (B, k, d) int64
+        dist = (diff * diff).sum(axis=2)
+        return np.argmin(dist, axis=1)  # first min ⇒ lowest cluster id
+
+    for _ in range(iters):
+        C_iter = C  # bind per-iteration value into the task closure
+
+        def partial(t: pa.Table) -> pa.Table:
+            X = quantize_embeddings(t["embedding"])
+            a = assign(X, C_iter)
+            S = np.zeros((k, d), dtype=np.int64)
+            np.add.at(S, a, X)  # one vectorized scatter-add, exact int64
+            cols = {
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(np.bincount(a, minlength=k).astype(np.int64)),
+            }
+            for j in range(d):
+                cols[f"s{j}"] = pa.array(S[:, j])
+            return pa.table(cols)
+
+        def merge(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().groupby("cluster", as_index=False).sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        rows = (
+            load()
+            .map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+            .repartition(1)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        newC = C.copy()
+        for r in rows:
+            c = int(r["cluster"])
+            cnt = int(r["cnt"])
+            if cnt > 0:
+                sums = np.array([r[f"s{j}"] for j in range(d)], dtype=np.int64)
+                newC[c] = _exact_div(sums, np.int64(cnt))
+        C = newC
+
+    C_final = C
+
+    def out(t: pa.Table) -> pa.Table:
+        X = quantize_embeddings(t["embedding"])
+        a = assign(X, C_final)
+        return pa.table(
+            {"vec_id": t["vec_id"], "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return load().map_batches(out, batch_format="pyarrow", batch_size=batch_size)

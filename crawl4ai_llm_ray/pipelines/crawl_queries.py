@@ -436,3 +436,96 @@ def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
         .sort(["pr", "url"], descending=[True, False])
         .limit(k)
     )
+
+
+def crawl_span_signature(sf_dir: str = ""):
+    """(doc_id, n_spans, sig): per-document ordered span-kind signature —
+    the ','-joined sequence of span kinds in span order (e.g.
+    ``text,link,image,text``) plus the span count. The interleaved-payload
+    "shape fingerprint": two docs with the same signature have the same
+    text/media interleaving, which is the grouping key layout-dedup and
+    extraction-template mining both start from.
+
+    Fully vectorized ordered collect: the spans list column's child ``kind``
+    array is re-wrapped with the SAME list offsets (zero-copy — order inside
+    each list is physical order) and joined with one Arrow
+    ``binary_join_element_wise``-free kernel, ``pc.binary_join``. No shuffle
+    at all: span order is batch-local by construction."""
+    import pyarrow.compute as pc
+
+    out = ensure_crawl()
+
+    def sig(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        kinds = spans.values.field("kind")
+        lists = pa.ListArray.from_arrays(spans.offsets, kinds)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": pc.cast(pc.list_value_length(spans), pa.int64()),
+                "sig": pc.binary_join(lists, ","),
+            }
+        )
+
+    return (
+        read_docs(out)
+        .select_columns(["doc_id", "spans"])
+        .map_batches(sig, batch_format="pyarrow")
+    )
+
+
+def crawl_host_url_list(sf_dir: str = ""):
+    """(host, n_urls, urls): per-host sorted URL roster — ','-joined
+    ``url_canon`` in ascending order — the ordered collect_list/string_agg
+    operator (per-host seed lists, exclusion rosters, site exports all have
+    this shape).
+
+    Scale shape: ONE partitioned shuffle on host-hash (narrow host+url
+    rows), then per-partition the collect is fully vectorized: sort by
+    (host, url), run-length host boundaries via np.unique → Arrow list
+    offsets → one ``pc.binary_join`` kernel per partition. No per-key Python
+    (map_groups stays at P partition groups, not host cardinality). Hot
+    hosts bound the partition payload exactly as the frontier's salting
+    notes: a single host's URL list must fit a block, which is inherent to
+    emitting one row per host."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64
+
+    out = ensure_crawl()
+
+    def part(t: pa.Table) -> pa.Table:
+        host = t["host"]
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        ep = (fnv1a64(host) % np.uint64(16)).astype(np.int64)
+        return pa.table(
+            {"host": host, "url": t["url_canon"], "hp": pa.array(ep)}
+        )
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "url"], kind="stable")
+        hosts = df["host"].to_numpy()
+        urls = pa.array(df["url"].to_numpy(), type=pa.string())
+        uniq, starts = np.unique(hosts, return_index=True)
+        order = np.argsort(starts)  # np.unique sorts; keep first-occurrence
+        starts = starts[order]
+        offsets = np.append(starts, len(hosts)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), urls)
+        return pa.table(
+            {
+                "host": pa.array(uniq[order], type=pa.string()),
+                "n_urls": pa.array(np.diff(offsets).astype(np.int64)),
+                "urls": pc.binary_join(lists, ","),
+            }
+        ).to_pandas()
+
+    return (
+        read_docs(out)
+        .select_columns(["host", "url_canon"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("hp")
+        .map_groups(collect, batch_format="pandas")
+    )

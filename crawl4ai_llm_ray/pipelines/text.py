@@ -606,3 +606,113 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 32):
         .groupby("dp")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+BM25_TERMS = ("customer", "vector", "hash", "stream")
+
+
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """(doc_id, score): BM25 keyword search — top-k documents for a fixed
+    bag of query terms (words = DuckDB ``string_split(text, ' ')`` tokens, so
+    tf/dl are oracle-comparable). Scores are rounded to 4 decimals before
+    ranking (ties broken by doc_id ASC), the same convention the cosine ANN
+    family uses to keep the IEEE formula engine/oracle bit-stable.
+
+    Scale shape (the standard two-pass sparse-retrieval plan):
+
+    1. ONE scan of the raw text produces a narrow per-doc row
+       ``(doc_id, dl, tf_j...)`` — m+2 ints, no term strings shuffled
+       (queries are fixed, so tf is a dense vector, not an exploded table).
+       The narrow dataset is materialized (≈(m+2)·8 B/doc — ~40 GB per 10^9
+       docs, object-store-spillable) because it feeds two consumers; that is
+       cheaper than re-scanning the corpus text a second time.
+    2. Corpus stats (N, Σdl, df_j) are per-batch one-row partials merged in a
+       single tiny task — never a wide shuffle.
+    3. The scoring pass re-reads the narrow rows with the m idf scalars in
+       the closure, emits per-batch top-k partials, and finishes with a
+       k·n_batches-row sort+limit.
+
+    Reference anchor: extends the reference's filter/search surface
+    (crawl4ai_llm/storage/json_storage.py list/filter path) with ranked
+    retrieval — the operator a crawl corpus feeds first.
+    """
+    import math
+
+    import ray.data  # noqa: F401  (Dataset already imported by callers)
+
+    ds = _read_docs(sf_dir)
+    m = len(terms)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        text_col = t["text"]
+        if isinstance(text_col, pa.ChunkedArray):
+            text_col = text_col.combine_chunks()
+        words = pc.split_pattern(text_col, " ")
+        flat = words.values.to_numpy(zero_copy_only=False)
+        offsets = words.offsets.to_numpy().astype(np.int64)
+        dl = np.diff(offsets)
+        n = len(dl)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
+        cols = {"doc_id": t["doc_id"], "dl": pa.array(dl)}
+        for j, term in enumerate(terms):
+            hit = flat == term
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(doc_idx[hit], minlength=n).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    narrow = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        row = {
+            "n": [t.num_rows],
+            "sum_dl": [int(pc.sum(t["dl"]).as_py() or 0)],
+        }
+        for j in range(m):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False)
+            row[f"df{j}"] = [int((tf > 0).sum())]
+        return pa.table(row)
+
+    def stat_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: [int(pc.sum(t[c]).as_py() or 0)] for c in t.column_names}
+        )
+
+    stats = (
+        narrow.map_batches(stat_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(stat_merge, batch_format="pyarrow", batch_size=None)
+        .take_all()[0]
+    )
+    n_docs = int(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n_docs  # one IEEE division, = oracle's
+    idf = [
+        math.log(1 + (n_docs - int(stats[f"df{j}"]) + 0.5) / (int(stats[f"df{j}"]) + 0.5))
+        for j in range(m)
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        # left-associated term sum, same order as the oracle's + chain
+        for j in range(m):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = s + idf[j] * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        s = np.round(s, 4)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]  # per-batch top-k partial
+        return pa.table(
+            {"doc_id": pa.array(ids[order]), "score": pa.array(s[order])}
+        )
+
+    return (
+        narrow.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
