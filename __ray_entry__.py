@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     metrics/seen_set via full SQL replay of the frontier semantics) ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,
-        "crawl_span_explode": crawl_queries.crawl_span_explode,
+        "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of over the interleaved payload (new in r4; crawl_span_explode, whose flatten machinery this strictly contains, moved to the tail)
         "crawl_metrics": crawl_queries.crawl_metrics,          # full accounting replay
         "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
         "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill (new in r4)
         "sessionize": relational2.sessionize,                 # §2.9
-        "token_count_bpe": relational2.token_count_bpe,
+        "unigram_logprob": text.unigram_logprob,              # CCNet-shape LM quality gate, exact fixed-point (new in r4; token_count_bpe, whose tokenize machinery token_count shows in the tail, moved out)
         "topk_per_group": relational3.topk_per_group,
         "quantiles_per_group": relational3.quantiles_per_group,
         "corr_per_group": relational3.corr_per_group,
@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     rotation moved regional_revenue / approx_quantiles_hist /
         #     embed_dedup_clusters / extract_products INTO the window and
         #     these same-machinery variants out) ---
+        "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
+        "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "crawl_span_signature": crawl_queries.crawl_span_signature,  # ordered span-kind collect over the interleaved payload (new in r4)
         "crawl_host_url_list": crawl_queries.crawl_host_url_list,    # per-host ordered string_agg roster (new in r4)
         "ann_topk_multi": ann.ann_topk_multi,                  # batched multi-query serving shape (ann_topk sibling; demoted r4)
@@ -1088,6 +1090,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rnk, term, tf, df FROM j WHERE rnk <= 3
         """,
+        # unigram-LM quality score: per-term ln(c/N) quantized to an int64
+        # 1e-9 grid (half-up, lockstep with the engine), per-doc integer sum
+        # (order-free), one final IEEE division + round(4)
+        "unigram_logprob": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+            dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+            n AS (SELECT sum(tf)::BIGINT AS n FROM tf),
+            c AS (SELECT term, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+            lq AS (SELECT term,
+                          CAST(floor(ln(CAST(c AS DOUBLE) / n.n) * 1000000000.0
+                                     + 0.5) AS BIGINT) AS lq
+                   FROM c, n),
+            s AS (SELECT tf.doc_id, sum(tf.tf * lq.lq)::BIGINT AS acc
+                  FROM tf JOIN lq USING (term) GROUP BY 1)
+            SELECT s.doc_id, dl.dl AS n_tokens,
+                   round(CAST(acc AS DOUBLE) / (dl.dl * 1000000000.0), 4) AS logprob
+            FROM s JOIN dl USING (doc_id)
+        """,
         # BM25 ranked retrieval for a fixed query-term bag; score chain is
         # left-associated in the engine's term order, rounded to 4 decimals
         # before ranking (ties → doc_id ASC)
@@ -1277,6 +1299,26 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(array_to_string(list_transform(spans, s -> s.kind), ','),
                             '') AS sig
             FROM {crawl_docs}
+        """,
+        # span-level caption as-of: nearest preceding text span per media
+        # span, replayed with last_value IGNORE NULLS over span ordinality
+        # (the parallel-unnest range trick gives 1-based positions)
+        "crawl_media_context": f"""
+            WITH x AS (SELECT doc_id, unnest(spans) AS s,
+                              unnest(range(1, len(spans) + 1)) AS pos
+                       FROM {crawl_docs}),
+            w AS (SELECT doc_id, pos, s.kind AS kind, s.media_ref AS media_ref,
+                         last_value(CASE WHEN s.kind = 'text' THEN pos END IGNORE NULLS)
+                             OVER ord AS cap_pos,
+                         last_value(CASE WHEN s.kind = 'text' THEN s.text END IGNORE NULLS)
+                             OVER ord AS cap_text
+                  FROM x
+                  WINDOW ord AS (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING))
+            SELECT doc_id, media_ref, pos::BIGINT AS span_pos,
+                   COALESCE(cap_pos, 0)::BIGINT AS caption_pos,
+                   COALESCE(cap_text, '') AS caption
+            FROM w WHERE kind IN ('image', 'audio')
         """,
         # per-host sorted URL roster: string_agg with an explicit ORDER BY —
         # the ordered-collect_list shape

@@ -529,3 +529,62 @@ def crawl_host_url_list(sf_dir: str = ""):
         .groupby("hp")
         .map_groups(collect, batch_format="pandas")
     )
+
+
+def crawl_media_context(sf_dir: str = ""):
+    """(doc_id, media_ref, span_pos, caption_pos, caption): for every media
+    span (image/audio) of every interleaved doc, the nearest PRECEDING text
+    span in span order — the caption-candidate pairing a multimodal training
+    pipeline derives before media decode (positions are 1-based within the
+    doc; caption_pos = 0 / caption = '' when no text precedes). This is an
+    as-of join at span granularity, done with zero shuffle: span order is
+    list order, so one flattened cumulative-max per batch resolves every
+    media span's predecessor.
+
+    Vectorization: flatten spans (value_parent_indices), mark text spans
+    with their global flat position, ``np.maximum.accumulate`` over the flat
+    array, then validate each candidate against its own list's start offset
+    (a candidate inherited across a list boundary is always < the start and
+    is rejected) — the same segmented-scan trick the asof_join bucket path
+    uses, at zero extra memory."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    out = ensure_crawl()
+
+    def ctx(t: pa.Table) -> pa.Table:
+        spans = t["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = spans.value_parent_indices().to_numpy(zero_copy_only=False)
+        vals = spans.values
+        kinds = vals.field("kind").to_numpy(zero_copy_only=False)
+        texts = vals.field("text").to_numpy(zero_copy_only=False)
+        offsets = spans.offsets.to_numpy().astype(np.int64)
+        starts = offsets[:-1][parent]  # each flat element's list start
+        gpos = np.arange(len(kinds), dtype=np.int64)
+        cand = np.maximum.accumulate(np.where(kinds == "text", gpos, -1))
+        sel = (kinds == "image") | (kinds == "audio")
+        v = cand[sel] >= starts[sel]
+        cap_idx = np.maximum(cand[sel], 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(parent[sel])),
+                "media_ref": pa.array(
+                    vals.field("media_ref").to_numpy(zero_copy_only=False)[sel],
+                    type=pa.string(),
+                ),
+                "span_pos": pa.array(gpos[sel] - starts[sel] + 1),
+                "caption_pos": pa.array(
+                    np.where(v, cand[sel] - starts[sel] + 1, 0)
+                ),
+                "caption": pa.array(
+                    np.where(v, texts[cap_idx], ""), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        read_docs(out)
+        .select_columns(["doc_id", "spans"])
+        .map_batches(ctx, batch_format="pyarrow")
+    )

@@ -716,3 +716,87 @@ def bm25_topk(
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def unigram_logprob(sf_dir: str, num_partitions: int = 32):
+    """(doc_id, n_tokens, logprob): per-document average token log-probability
+    under the corpus's own unigram LM — the CCNet/perplexity-style quality
+    gate (low logprob ⇒ unusual token mix ⇒ filter candidate). Exact and
+    merge-order-independent: per-term ln(c_t/N) is quantized once to an
+    int64 1e-9 grid (floor(x·1e9 + 0.5), the same half-up lockstep the
+    k-means quantizer uses), per-doc accumulation is integer, and only the
+    final per-doc division + round(4) touches IEEE floats — so the result is
+    bit-stable under any partitioning AND replayable in SQL (a float sum
+    over terms would be reduction-order-dependent in both engines).
+
+    Scale shape (mirrors tfidf_top_terms): (doc, term, tf) rows are
+    hash-partitioned BY TERM so each term's corpus count is a co-located
+    transform; the corpus total N is a one-row partial reduce; the per-doc
+    sum re-partitions narrow int rows BY DOC. Two narrow shuffles, no join,
+    no driver-side materialization beyond the one-row N."""
+    import math
+
+    from ..functions.hashing import fnv1a64
+
+    ds = _read_docs(sf_dir)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        di, words = _word_ngrams_batch(t["text"], 1)
+        dl = np.bincount(di, minlength=t.num_rows).astype(np.int64)
+        cnt_s = pd.DataFrame({"d": di, "term": words}).groupby(["d", "term"]).size()
+        d_l = cnt_s.index.get_level_values(0).to_numpy()
+        terms = cnt_s.index.get_level_values(1).to_numpy(dtype=object)
+        term_arr = pa.array(terms, type=pa.string())
+        part = (fnv1a64(term_arr) % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], pa.array(d_l)),
+                "term": term_arr,
+                "tf": pa.array(cnt_s.to_numpy().astype(np.int64)),
+                "dl": pa.array(dl[d_l]),
+                "part": pa.array(part),
+            }
+        )
+
+    narrow = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    n_total = int(
+        narrow.map_batches(
+            lambda t: pa.table({"n": [int(pc.sum(t["tf"]).as_py() or 0)]}),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table({"n": [int(pc.sum(t["n"]).as_py() or 0)]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()[0]["n"]
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        # this partition holds ALL rows of each of its terms → corpus count
+        # is a transform; quantized ln in lockstep with the oracle
+        df = df.drop(columns=["part"]).copy()
+        c = df.groupby("term")["tf"].transform("sum").to_numpy(np.float64)
+        lq = np.floor(np.log(c / n_total) * 1000000000.0 + 0.5).astype(np.int64)
+        df["contrib"] = df["tf"].to_numpy() * lq
+        df["dp"] = (df["doc_id"].to_numpy() % num_partitions).astype(np.int64)
+        return df[["doc_id", "dl", "contrib", "dp"]]
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_tokens=("dl", "first"), acc=("contrib", "sum")
+        )
+        lp = g["acc"].to_numpy(np.float64) / (
+            g["n_tokens"].to_numpy(np.float64) * 1000000000.0
+        )
+        g["logprob"] = np.round(lp, 4)
+        return g[["doc_id", "n_tokens", "logprob"]]
+
+    return (
+        narrow.groupby("part")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("dp")
+        .map_groups(per_doc, batch_format="pandas")
+    )

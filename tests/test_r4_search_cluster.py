@@ -101,3 +101,43 @@ def test_crawl_host_url_list_sorted_and_complete():
         urls = row["urls"].split(",")
         assert len(urls) == row["n_urls"]
         assert urls == sorted(urls)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_context_caption_is_preceding_text():
+    from crawl4ai_llm_ray.pipelines import crawl_queries
+
+    ctx = _df(crawl_queries.crawl_media_context())
+    spans = _df(crawl_queries.crawl_interleaved_docs()).set_index("doc_id")["spans"]
+    assert len(ctx) > 0
+    for _, r in ctx.sample(min(25, len(ctx)), random_state=7).iterrows():
+        doc = spans[r["doc_id"]]
+        me = doc[r["span_pos"] - 1]
+        assert me["kind"] in ("image", "audio")
+        assert me["media_ref"] == r["media_ref"]
+        if r["caption_pos"] == 0:
+            # no text span before this media span
+            assert all(s["kind"] != "text" for s in doc[: r["span_pos"] - 1])
+        else:
+            cap = doc[r["caption_pos"] - 1]
+            assert cap["kind"] == "text" and cap["text"] == r["caption"]
+            # nearest: no text strictly between caption and media
+            between = doc[r["caption_pos"]: r["span_pos"] - 1]
+            assert all(s["kind"] != "text" for s in between)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unigram_logprob_properties():
+    from crawl4ai_llm_ray.pipelines import text
+
+    df = _df(text.unigram_logprob(SF))
+    assert list(df.columns) == ["doc_id", "n_tokens", "logprob"]
+    # avg token logprob is negative and bounded below by ln(1/N_corpus)
+    n_corpus = df["n_tokens"].sum()
+    assert (df["logprob"] < 0).all()
+    assert (df["logprob"] >= np.log(1.0 / n_corpus) - 1e-6).all()
+    # partitioning-invariance: fixed-point accumulation ⇒ identical values
+    df2 = _df(text.unigram_logprob(SF, num_partitions=7))
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["logprob"].values == b["logprob"].values).all()
