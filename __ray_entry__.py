@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     these same-machinery variants out) ---
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
+        "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
+        "ntile_orders": relational4.ntile_orders,              # ntile/percent_rank ranking windows (new in r4)
         "crawl_span_signature": crawl_queries.crawl_span_signature,  # ordered span-kind collect over the interleaved payload (new in r4)
         "crawl_host_url_list": crawl_queries.crawl_host_url_list,    # per-host ordered string_agg roster (new in r4)
         "ann_topk_multi": ann.ann_topk_multi,                  # batched multi-query serving shape (ann_topk sibling; demoted r4)
@@ -1090,6 +1092,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rnk, term, tf, df FROM j WHERE rnk <= 3
         """,
+        # grouped-vector aggregate: per-label centroid in exact fixed point
+        # (same quantize + subtract-nonneg-mod floor division as kmeans)
+        "label_centroids": """
+            WITH v AS (SELECT label, unnest(embedding) AS x,
+                              unnest(range(1, len(embedding) + 1)) AS dim
+                       FROM embeddings),
+            q AS (SELECT label::BIGINT AS label, dim,
+                         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+                  FROM v),
+            g AS (SELECT label, dim, sum(xq)::BIGINT AS sm,
+                         count(*)::BIGINT AS cnt
+                  FROM q GROUP BY 1, 2)
+            SELECT label, dim,
+                   (sm - ((sm % cnt) + cnt) % cnt) // cnt AS cq,
+                   cnt AS n_vecs
+            FROM g
+        """,
+        # ranking windows: ntile + percent_rank over a total (tie-free) order
+        "ntile_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   ntile(4) OVER w AS tile,
+                   percent_rank() OVER w AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+        """,
         # unigram-LM quality score: per-term ln(c/N) quantized to an int64
         # 1e-9 grid (half-up, lockstep with the engine), per-doc integer sum
         # (order-free), one final IEEE division + round(4)
@@ -1132,7 +1160,7 @@ def oracle_sql() -> dict[str, str]:
                               unnest(range(1, len(embedding) + 1)) AS dim
                        FROM embeddings),
             q AS (SELECT vec_id, dim,
-                         CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xq
+                         CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
                   FROM v),
             c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM q WHERE vec_id < 4){km_iters},
             a4 AS (SELECT q.vec_id, c.cid,

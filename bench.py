@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "shared_passage_pairs",
     "tfidf_top_terms",       # r4: corpus-df keyword extraction (2 narrow shuffles)
     "decontaminate_ngrams",  # r4: broadcast benchmark-gram membership
+    "bm25_topk",             # r4: two-pass sparse retrieval
+    "unigram_logprob",       # r4: term-partitioned LM quality gate
+    "kmeans_embed",          # r4: 3 streaming Lloyd's passes, exact int
 ]
 
 

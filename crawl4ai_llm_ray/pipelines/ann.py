@@ -428,9 +428,12 @@ def ann_topk_multi(sf_dir: str, query_vec_ids=(0, 1, 2, 3, 4, 5, 6, 7), k: int =
 
 def quantize_embeddings(col) -> np.ndarray:
     """list<float> column → (n, d) int64 fixed-point matrix, the exact
-    lockstep of the oracle's ``CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)``
+    lockstep of the oracle's
+    ``CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)``
     (half-up, NOT banker's rounding — np.round would diverge from SQL at
-    .5 boundaries). float32 → float64 is exact, so both sides quantize the
+    .5 boundaries; the inner DOUBLE cast matters — DuckDB evaluates a bare
+    FLOAT * decimal-literal product in float32, which lands ~0.005 off at
+    this magnitude). float32 → float64 is exact, so both sides quantize the
     same doubles."""
     M = list_col_to_matrix(col)  # float64, exact widening of float32
     return np.floor(M * 1000000.0 + 0.5).astype(np.int64)
@@ -486,6 +489,15 @@ def kmeans_embed(sf_dir: str, k: int = 4, iters: int = 3, batch_size: int = 4096
         filters=[("vec_id", "<", k)],
     )
     tbl = tbl.sort_by("vec_id")
+    if tbl.num_rows == 0:
+        import ray.data as rd
+
+        # empty corpus (or no vec_id < k): nothing to cluster
+        return rd.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        )
     C = quantize_embeddings(tbl["embedding"])  # (k, d)
     d = C.shape[1]
 
@@ -540,3 +552,67 @@ def kmeans_embed(sf_dir: str, k: int = 4, iters: int = 3, batch_size: int = 4096
         )
 
     return load().map_batches(out, batch_format="pyarrow", batch_size=batch_size)
+
+
+def label_centroids(sf_dir: str):
+    """(label, dim, cq, n_vecs): per-label embedding centroid (class
+    prototypes — the grouped-vector aggregate SemDeDup-style semantic
+    bucketing and classifier calibration both consume), in the same exact
+    int64 fixed point as :func:`kmeans_embed` — quantize(1e-6 grid), integer
+    scatter-add partials, exact floor division — so partial merge order
+    cannot change a single bit and the SQL twin replays it exactly. Output is
+    long-format (one row per label × dimension): label cardinality is
+    dimension-sized, so the result is model-sized, not data-sized.
+
+    Scale shape: ONE streaming pass; per batch a (L, d) int64 scatter-add +
+    L-row counts (L = max observed label + 1), merged in a single tiny task
+    (L·d·n_batches narrow int rows — never a wide shuffle)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = quantize_embeddings(t["embedding"])
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lab) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sm": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        L = int(lab.max()) + 1
+        d = X.shape[1]
+        S = np.zeros((L, d), dtype=np.int64)
+        np.add.at(S, lab, X)
+        cnt = np.bincount(lab, minlength=L).astype(np.int64)
+        used = cnt > 0
+        labs = np.nonzero(used)[0]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labs, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(labs))),
+                "sm": pa.array(S[used].ravel()),
+                "cnt": pa.array(np.repeat(cnt[used], d)),
+            }
+        )
+
+    def merge(df):
+        g = df.groupby(["label", "dim"], as_index=False).agg(
+            sm=("sm", "sum"), cnt=("cnt", "sum")
+        )
+        g["cq"] = _exact_div(
+            g["sm"].to_numpy(np.int64), g["cnt"].to_numpy(np.int64)
+        )
+        g["n_vecs"] = g["cnt"].astype(np.int64)
+        return g[["label", "dim", "cq", "n_vecs"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )

@@ -899,3 +899,33 @@ def full_outer_activity(sf_dir: str, n_agg_parts: int = 16):
         )
 
     return joined.map_batches(fill, batch_format="pandas")
+
+
+def ntile_orders(sf_dir: str, n_tiles: int = 4):
+    """(o_orderkey, o_orderpriority, tile, pct_rank): ntile(n) quartile and
+    percent_rank of each order's total price WITHIN its priority class — the
+    ranking-window family (ntile / percent_rank) over a total order
+    (o_totalprice, o_orderkey ties broken by key, so both engines rank
+    identically and percent_rank is one IEEE division of exact ints).
+
+    Scale shape: priority classes are dimension-sized (5), so this is the
+    legitimate map_groups-per-key case (the partition-group pattern is for
+    data-sized keys); within a group everything is one vectorized sort +
+    np.repeat bucket assignment. A data-sized partition key would need the
+    distributed-sort rank shape instead (sort → per-block offsets)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def tiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], kind="stable"
+        ).reset_index(drop=True)
+        n = len(df)
+        base, rem = divmod(n, n_tiles)
+        sizes = np.full(n_tiles, base, dtype=np.int64)
+        sizes[:rem] += 1
+        df["tile"] = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64), sizes)
+        rn = np.arange(n, dtype=np.float64)  # row_number - 1 (no ties)
+        df["pct_rank"] = rn / (n - 1) if n > 1 else 0.0
+        return df[["o_orderkey", "o_orderpriority", "tile", "pct_rank"]]
+
+    return ds.groupby("o_orderpriority").map_groups(tiles, batch_format="pandas")

@@ -684,12 +684,22 @@ def bm25_topk(
             {c: [int(pc.sum(t[c]).as_py() or 0)] for c in t.column_names}
         )
 
-    stats = (
+    stat_rows = (
         narrow.map_batches(stat_partial, batch_format="pyarrow")
         .repartition(1)
         .map_batches(stat_merge, batch_format="pyarrow", batch_size=None)
-        .take_all()[0]
+        .take_all()
     )
+    if not stat_rows or not stat_rows[0].get("n"):
+        # empty corpus: Ray skips the map entirely; return a typed empty
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        )
+    stats = stat_rows[0]
     n_docs = int(stats["n"])
     avgdl = float(stats["sum_dl"]) / n_docs  # one IEEE division, = oracle's
     idf = [
@@ -760,7 +770,7 @@ def unigram_logprob(sf_dir: str, num_partitions: int = 32):
 
     narrow = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
 
-    n_total = int(
+    n_rows = (
         narrow.map_batches(
             lambda t: pa.table({"n": [int(pc.sum(t["tf"]).as_py() or 0)]}),
             batch_format="pyarrow",
@@ -771,8 +781,21 @@ def unigram_logprob(sf_dir: str, num_partitions: int = 32):
             batch_format="pyarrow",
             batch_size=None,
         )
-        .take_all()[0]["n"]
+        .take_all()
     )
+    n_total = int(n_rows[0]["n"]) if n_rows and n_rows[0].get("n") else 0
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         # this partition holds ALL rows of each of its terms → corpus count
