@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     rotation moved regional_revenue / approx_quantiles_hist /
         #     embed_dedup_clusters / extract_products INTO the window and
         #     these same-machinery variants out) ---
+        "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4)
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
@@ -1264,6 +1265,64 @@ def oracle_sql() -> dict[str, str]:
             r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes){pr_iters}
             SELECT node AS url, pr::BIGINT AS pr FROM r5
             ORDER BY pr DESC, url LIMIT 20
+        """,
+        # triangle census: same induced-link-graph CTE chain as crawl_pagerank,
+        # then the oriented-wedge triangle count — orient each undirected edge
+        # from the lower (deg, node) endpoint, close oriented wedges against
+        # the oriented edge set; n_wedges = sum deg*(deg-1)/2 (clustering-
+        # coefficient denominator)
+        "crawl_triangles": f"""
+            WITH docs AS (SELECT url_canon, spans FROM {crawl_docs}),
+            nodes AS (SELECT DISTINCT url_canon AS node FROM docs),
+            l AS (SELECT url_canon AS src, s.media_ref AS ref
+                  FROM (SELECT url_canon, unnest(spans) AS s FROM docs)
+                  WHERE s.kind = 'link'),
+            c1 AS (SELECT src, regexp_replace(ref, '#.*$', '') AS u FROM l),
+            c2 AS (SELECT src,
+                          lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                          regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                          regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+                   FROM c1),
+            c3 AS (SELECT src, regexp_replace(rawhost, ':80$', '') AS host,
+                          CASE WHEN rawpath = '' THEN '/'
+                               WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                               THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                          CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                          END AS q
+                   FROM c2),
+            t AS (SELECT src, 'http://' || host || path || q AS dst FROM c3),
+            de AS (SELECT DISTINCT t.src, t.dst
+                   FROM t JOIN nodes ON t.dst = nodes.node
+                   WHERE t.src <> t.dst),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                                    greatest(src, dst) AS b FROM de),
+            deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                        SELECT a AS node FROM und
+                        UNION ALL SELECT b FROM und) GROUP BY 1),
+            o AS (SELECT CASE WHEN da.deg < db.deg
+                                OR (da.deg = db.deg AND u.a < u.b)
+                              THEN u.a ELSE u.b END AS src,
+                         CASE WHEN da.deg < db.deg
+                                OR (da.deg = db.deg AND u.a < u.b)
+                              THEN u.b ELSE u.a END AS dst,
+                         CASE WHEN da.deg < db.deg
+                                OR (da.deg = db.deg AND u.a < u.b)
+                              THEN db.deg ELSE da.deg END AS ddst
+                  FROM und u
+                  JOIN deg da ON da.node = u.a
+                  JOIN deg db ON db.node = u.b),
+            tri AS (SELECT count(*)::BIGINT AS n
+                    FROM o e1
+                    JOIN o e2 ON e2.src = e1.src
+                            AND (e1.ddst < e2.ddst
+                                 OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+                    JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM o)::BIGINT AS n_edges,
+                   (SELECT COALESCE(sum(deg * (deg - 1) // 2), 0) FROM deg)::BIGINT
+                       AS n_wedges,
+                   (SELECT n FROM tri)::BIGINT AS n_triangles
         """,
         "full_outer_activity": """
             WITH ev AS (SELECT user_id, count(*)::BIGINT AS n_events,

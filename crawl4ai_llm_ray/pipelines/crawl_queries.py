@@ -354,27 +354,15 @@ def crawl_seen_set(sf_dir: str = ""):
     return pa.table({"url_hash": t["url_hash"].take(idx).cast(pa.uint64())})
 
 
-def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
-    """(url, pr): integer fixed-point PageRank over the fetched-page link
-    graph, top-k by (pr DESC, url ASC). Nodes are the crawled pages
-    (url_canon); edges are their link spans canonicalized with the same
-    frontier kernel and restricted to targets that were themselves fetched
-    (the induced subgraph — out-degree counts only those edges, so rank mass
-    routes to real pages). 5 rounds of the exact-arithmetic Pregel loop in
-    :func:`~.graph.pagerank`; every step bit-identical to the SQL replay.
-
-    Scale shape: edge distinct + out-degree happen in ONE partitioned pass
-    (all copies of a (src, dst) edge share the src hash, so drop_duplicates
-    and the degree transform are partition-local — no join); the dst∈nodes
-    restriction is a partitioned hash semi-join; each PageRank round is a
-    narrow (src, dst, outdeg)⋈(node, pr) join plus a (node, inflow) sum."""
+def _induced_link_graph(out: str):
+    """(nodes, edges) Datasets of the fetched-page link graph: nodes =
+    crawled url_canon; edges = link spans canonicalized with the frontier
+    kernel, self-loops dropped, restricted to targets that were themselves
+    fetched (induced subgraph — a partitioned hash semi-join on dst).
+    Shared by crawl_pagerank / crawl_triangles."""
     import pyarrow.compute as pc
 
-    from ..functions.hashing import fnv1a64
     from ..functions.urlnorm import canonicalize_urls
-    from .graph import pagerank
-
-    out = ensure_crawl()
 
     nodes = read_docs(out).select_columns(["url_canon"]).map_batches(
         lambda t: pa.table({"node": t["url_canon"]}), batch_format="pyarrow"
@@ -401,7 +389,6 @@ def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
     raw = read_docs(out).select_columns(["url_canon", "spans"]).map_batches(
         links, batch_format="pyarrow"
     )
-    # induced subgraph: keep edges whose target was actually fetched
     fetched = raw.join(
         nodes,
         join_type="inner",
@@ -409,6 +396,44 @@ def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
         on=("dst",),
         right_on=("node",),
     ).select_columns(["src", "dst"])
+    return nodes, fetched
+
+
+def crawl_triangles(sf_dir: str = ""):
+    """One-row (n_nodes, n_edges, n_wedges, n_triangles) exact triangle
+    census of the fetched-page link graph (undirected view of the induced
+    subgraph crawl_pagerank ranks over). Clustering-coefficient-style
+    structure summaries are the third member of the crawl graph-analytics
+    family next to in-degree (crawl_link_popularity) and PageRank
+    (crawl_pagerank). All heavy stages are hash-partitioned joins /
+    aggregates in :func:`~.graph.triangle_count`; see its docstring for the
+    oriented-wedge scale argument."""
+    from .graph import triangle_count
+
+    out = ensure_crawl()
+    _, edges = _induced_link_graph(out)
+    return triangle_count(edges, num_partitions=_N_PARTITIONS)
+
+
+def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
+    """(url, pr): integer fixed-point PageRank over the fetched-page link
+    graph, top-k by (pr DESC, url ASC). Nodes are the crawled pages
+    (url_canon); edges are their link spans canonicalized with the same
+    frontier kernel and restricted to targets that were themselves fetched
+    (the induced subgraph — out-degree counts only those edges, so rank mass
+    routes to real pages). 5 rounds of the exact-arithmetic Pregel loop in
+    :func:`~.graph.pagerank`; every step bit-identical to the SQL replay.
+
+    Scale shape: edge distinct + out-degree happen in ONE partitioned pass
+    (all copies of a (src, dst) edge share the src hash, so drop_duplicates
+    and the degree transform are partition-local — no join); the dst∈nodes
+    restriction is a partitioned hash semi-join; each PageRank round is a
+    narrow (src, dst, outdeg)⋈(node, pr) join plus a (node, inflow) sum."""
+    from ..functions.hashing import fnv1a64
+    from .graph import pagerank
+
+    out = ensure_crawl()
+    nodes, fetched = _induced_link_graph(out)
 
     def part(t: pa.Table) -> pa.Table:
         return t.append_column(

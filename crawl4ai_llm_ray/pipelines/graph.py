@@ -107,3 +107,280 @@ def pagerank(
             .materialize()
         )
     return ranks
+
+
+def triangle_count(edges, num_partitions: int = 8):
+    """Exact triangle counting over a directed edge Dataset (src, dst) via
+    the oriented-wedge pattern (node-iterator of Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11 — public
+    algorithm). Returns a ONE-ROW pyarrow table
+    (n_nodes, n_edges, n_wedges, n_triangles) over the undirected graph.
+
+    Deliberately JOIN-FREE: every stage is hash-partition ``groupby(part)
+    .map_groups`` with vectorized pandas/numpy inside — Ray's hash-join
+    operator both spawns one aggregator actor per partition per join (3
+    chained joins starve the CPU budget, BASELINE.md minhash carry-vs-join
+    measurement) and crashes on zero-row partitions (schema-less block in
+    the aggregator finalize). The union+tagged-partition shape sidesteps
+    both and is the same machinery the dedup connected-components uses.
+
+    1. undirect + distinct: (a, b) = (min, max) endpoint pair; all copies
+       share ``a``'s hash → dedup is partition-local.
+    2. degree WITHOUT a join: explode each edge into its two (node, a, b)
+       halves, partition by node — a node's degree is just its row count
+       inside its partition (transform("size")); first-row flags summed give
+       n_nodes for free.
+    3. re-pair the two halves on ``a``'s partition and orient each edge from
+       lower (deg, node) to higher — oriented out-degree is then O(sqrt(m)),
+       bounding wedge fan-out independent of hub degree.
+    4. wedges: partition on src; one sort + ragged-arange pair expansion
+       (pure numpy, no per-src Python loop) emits ordered neighbor pairs.
+    5. close: wedges and oriented edges tagged + unioned, partitioned by the
+       wedge's first endpoint (= the closing edge's src), counted with one
+       in-partition pandas merge. Each triangle {x<y<z by rank} is counted
+       exactly once, at apex x.
+
+    ``n_wedges`` is the graph wedge count sum deg(v)*(deg(v)-1)/2 (the
+    global-clustering-coefficient denominator: coefficient = 3*n_triangles /
+    n_wedges), computed for free in the degree stage; the oriented wedge
+    stream itself is never materialized as a dataset-wide statistic. At web scale nodes would
+    be dictionary-encoded to u64 ids first; string keys are kept so the
+    DuckDB oracle replays byte-for-byte.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64
+
+    P = num_partitions
+
+    def undirect(t: pa.Table) -> pa.Table:
+        src, dst = t["src"], t["dst"]
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        m = pc.less(src, dst)
+        a = pc.if_else(m, src, dst)
+        b = pc.if_else(m, dst, src)
+        ep = (fnv1a64(a) % np.uint64(P)).astype(np.int64)
+        return pa.table({"a": a, "b": b, "ep": pa.array(ep)})
+
+    und = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby("ep")
+        .map_groups(
+            lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def zeros_row() -> pa.Table:
+        z = pa.array([0], type=pa.int64())
+        return pa.table(
+            {"n_nodes": z, "n_edges": z, "n_wedges": z, "n_triangles": z}
+        )
+
+    n_edges = und.count()
+    if n_edges == 0:
+        return zeros_row()
+
+    # --- stage 2: endpoint explode; degree = in-partition row count ---
+    def explode(t: pa.Table) -> pa.Table:
+        a, b = t["a"], t["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        node = pa.concat_arrays([a, b])
+        side = pa.array(
+            np.repeat(np.array([0, 1], dtype=np.int64), t.num_rows)
+        )
+        out = pa.table(
+            {
+                "node": node,
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "side": side,
+            }
+        )
+        np_part = (fnv1a64(out["node"]) % np.uint64(P)).astype(np.int64)
+        return out.append_column("np", pa.array(np_part))
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["node", "a", "b", "side"]].copy()
+        df["deg"] = df.groupby("node")["node"].transform("size").astype(np.int64)
+        first = (~df["node"].duplicated()).astype(np.int64)
+        df["first"] = first
+        # graph wedge partial: deg*(deg-1)/2 once per node (the denominator
+        # of the global clustering coefficient, summed cheaply right here)
+        df["wedge"] = (first.to_numpy() * df["deg"].to_numpy()
+                       * (df["deg"].to_numpy() - 1) // 2).astype(np.int64)
+        return df
+
+    halves = (
+        und.map_batches(explode, batch_format="pyarrow")
+        .groupby("np")
+        .map_groups(attach_deg, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = int(halves.sum("first"))
+    n_wedges = int(halves.sum("wedge"))
+
+    # --- stage 3: re-pair halves on a's hash; orient by (deg, node) ---
+    def repartition_a(t: pa.Table) -> pa.Table:
+        ep = (fnv1a64(t["a"]) % np.uint64(P)).astype(np.int64)
+        return t.select(["a", "b", "side", "deg"]).append_column(
+            "ep", pa.array(ep)
+        )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        s0 = df[df["side"] == 0][["a", "b", "deg"]].rename(
+            columns={"deg": "deg_a"}
+        )
+        s1 = df[df["side"] == 1][["a", "b", "deg"]].rename(
+            columns={"deg": "deg_b"}
+        )
+        m = s0.merge(s1, on=["a", "b"])  # partition-local, vectorized
+        fwd = (m["deg_a"] < m["deg_b"]) | (
+            (m["deg_a"] == m["deg_b"]) & (m["a"] < m["b"])
+        )
+        fv = fwd.to_numpy()
+        a = m["a"].to_numpy()
+        b = m["b"].to_numpy()
+        da = m["deg_a"].to_numpy()
+        db = m["deg_b"].to_numpy()
+        return pd.DataFrame(
+            {
+                "src": np.where(fv, a, b),
+                "dst": np.where(fv, b, a),
+                "ddst": np.where(fv, db, da).astype(np.int64),
+            }
+        )
+
+    oriented = (
+        halves.map_batches(repartition_a, batch_format="pyarrow")
+        .groupby("ep")
+        .map_groups(orient, batch_format="pandas")
+        .materialize()
+    )
+
+    if n_wedges == 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], type=pa.int64()),
+                "n_edges": pa.array([n_edges], type=pa.int64()),
+                "n_wedges": pa.array([0], type=pa.int64()),
+                "n_triangles": pa.array([0], type=pa.int64()),
+            }
+        )
+
+    # --- stage 4+5: wedge expansion and tagged closing count ---
+    def tag_edges(t: pa.Table) -> pd.DataFrame:
+        # pandas output: the closing pass unions this with the (pandas-block)
+        # wedge stream, and Ray's sort-based groupby refuses mixed block types
+        sp = (fnv1a64(t["src"]) % np.uint64(P)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "v": t["src"].to_numpy(zero_copy_only=False),
+                "w": t["dst"].to_numpy(zero_copy_only=False),
+                "ddst": t["ddst"].to_numpy(),
+                "tag": np.ones(t.num_rows, dtype=np.int64),
+                "sp": sp,
+            }
+        )
+
+    def wedges_from(df: pd.DataFrame) -> pd.DataFrame:
+        """Within an sp-partition: expand each src's ordered out-neighbor
+        pairs (the wedges) via one sort + ragged-arange — no per-src Python
+        loop. Emits wedge rows only; the closing membership check happens in
+        the NEXT partition pass (keyed by the pair's lower-rank endpoint =
+        the closing edge's src), because the closing edge lives in that
+        node's partition, not this one's."""
+        e = df[df["tag"] == 1].sort_values(
+            ["v", "ddst", "w"], kind="mergesort"
+        )
+        src = e["v"].to_numpy()
+        dst = e["w"].to_numpy()
+        n = len(e)
+        if n == 0:
+            return pd.DataFrame(
+                {"v": np.array([], dtype=object), "w": np.array([], dtype=object),
+                 "ddst": np.array([], dtype=np.int64),
+                 "tag": np.array([], dtype=np.int64),
+                 "sp": np.array([], dtype=np.int64)}
+            )
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = src[1:] != src[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(n), 0)
+        )
+        local = np.arange(n) - grp_start
+        reps = local
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"v": np.array([], dtype=object), "w": np.array([], dtype=object),
+                 "ddst": np.array([], dtype=np.int64),
+                 "tag": np.array([], dtype=np.int64),
+                 "sp": np.array([], dtype=np.int64)}
+            )
+        w_idx = np.repeat(np.arange(n), reps)
+        ragged = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        v_idx = np.repeat(np.arange(n) - local, reps) + ragged
+        wv = dst[v_idx]  # lower-rank endpoint of the pair = closing src
+        ww = dst[w_idx]
+        return pd.DataFrame(
+            {
+                "v": wv,
+                "w": ww,
+                "ddst": np.zeros(total, dtype=np.int64),
+                "tag": np.zeros(total, dtype=np.int64),
+                "sp": np.zeros(total, dtype=np.int64),  # re-keyed below
+            }
+        )
+
+    wedge_rows = (
+        oriented.map_batches(tag_edges, batch_format="pyarrow")
+        .groupby("sp")
+        .map_groups(wedges_from, batch_format="pandas")
+    )
+
+    def rekey_v(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.copy()
+        df["sp"] = (
+            fnv1a64(pa.array(df["v"].astype(str))) % np.uint64(P)
+        ).astype(np.int64)
+        return df
+
+    tagged = (
+        wedge_rows.map_batches(rekey_v, batch_format="pandas")
+        .union(
+            oriented.map_batches(tag_edges, batch_format="pyarrow")
+        )
+    )
+
+    def close_count(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["tag"] == 1][["v", "w"]]
+        wd = df[df["tag"] == 0][["v", "w"]]
+        if not len(e) or not len(wd):
+            return pd.DataFrame({"n": np.array([0], dtype=np.int64)})
+        m = wd.merge(e.drop_duplicates(), on=["v", "w"])
+        return pd.DataFrame({"n": np.array([len(m)], dtype=np.int64)})
+
+    tri_sum = (
+        tagged.groupby("sp")
+        .map_groups(close_count, batch_format="pandas")
+        .sum("n")
+    )
+    n_tri = int(tri_sum) if tri_sum is not None else 0
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], type=pa.int64()),
+            "n_edges": pa.array([n_edges], type=pa.int64()),
+            "n_wedges": pa.array([n_wedges], type=pa.int64()),
+            "n_triangles": pa.array([n_tri], type=pa.int64()),
+        }
+    )

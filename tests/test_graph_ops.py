@@ -1,0 +1,78 @@
+"""Graph-analytics operators: triangle census (oriented-wedge join)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _tri(edges_rows):
+    import ray
+
+    from crawl4ai_llm_ray.pipelines.graph import triangle_count
+
+    df = pd.DataFrame(edges_rows, columns=["src", "dst"])
+    ds = ray.data.from_pandas(df)
+    return triangle_count(ds, num_partitions=4).to_pandas().iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_k4():
+    # K4 on {a,b,c,d}: 6 edges, C(4,3)=4 triangles; every oriented node has
+    # out-degree ≤ 3 and sum k(k-1)/2 wedges = 4 closed + open ones
+    nodes = ["a", "b", "c", "d"]
+    edges = [(u, v) for u in nodes for v in nodes if u < v]
+    r = _tri(edges)
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 6
+    assert r["n_triangles"] == 4
+    # wedges = sum deg*(deg-1)/2 = 4 * C(3,2) = 12; clustering = 3*4/12 = 1
+    assert r["n_wedges"] == 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_dedup_selfloop_direction():
+    # duplicates, reversed copies and self-loops must not change the census;
+    # path a-b-c has 1 wedge and 0 triangles
+    edges = [
+        ("a", "b"),
+        ("b", "a"),
+        ("a", "b"),
+        ("b", "c"),
+        ("c", "c"),
+    ]
+    r = _tri(edges)
+    assert r["n_nodes"] == 3
+    assert r["n_edges"] == 2
+    assert r["n_wedges"] == 1
+    assert r["n_triangles"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_empty():
+    import ray
+
+    from crawl4ai_llm_ray.pipelines.graph import triangle_count
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([], type=pa.string()),
+                  "dst": pa.array([], type=pa.string())})
+    )
+    r = triangle_count(ds, num_partitions=2).to_pandas().iloc[0]
+    assert (r == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_two_disjoint_triangles_plus_chord():
+    # two disjoint triangles {a,b,c} and {d,e,f} plus a bridging edge c-d:
+    # 7 edges, 2 triangles
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("d", "e"), ("e", "f"), ("d", "f"),
+        ("c", "d"),
+    ]
+    r = _tri(edges)
+    assert r["n_nodes"] == 6
+    assert r["n_edges"] == 7
+    assert r["n_triangles"] == 2
+    # degrees a,b,e,f = 2 and c,d = 3 → wedges = 4*1 + 2*3 = 10
+    assert r["n_wedges"] == 10
