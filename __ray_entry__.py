@@ -25,6 +25,7 @@ from crawl4ai_llm_ray.pipelines import (
     relational2,
     relational3,
     relational4,
+    relational5,
     text,
 )
 
@@ -113,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     these same-machinery variants out) ---
         "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4)
         "cooccur_parts": relational4.cooccur_parts,            # market-basket pair mining, partition-local quadratic expansion + skew cap (new in r4)
+        "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill via distributed range + zeros-union (new in r4)
+        "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
+        "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
@@ -337,6 +341,14 @@ def oracle_sql() -> dict[str, str]:
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     fnv_text = _fnv_sql("text")
     crawl_docs = f"read_parquet('{CRAWL_OUT}/docs/*/*.parquet')"
+    # count-min sketch geometry shared with the engine (relational5.py)
+    from crawl4ai_llm_ray.pipelines import relational5
+
+    cms_depth = relational5.CMS_DEPTH
+    cms_seed_cases = " ".join(
+        f"WHEN {r} THEN {s}::HUGEINT"
+        for r, s in enumerate(relational5.CMS_SEEDS)
+    )
     # BM25: tf per fixed query term via list_filter, df/N/avgdl from one
     # stats row, score as an explicit left-associated + chain (same fp
     # summation order as the engine's accumulator loop), round(4) like the
@@ -1324,6 +1336,56 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COALESCE(sum(deg * (deg - 1) // 2), 0) FROM deg)::BIGINT
                        AS n_wedges,
                    (SELECT n FROM tri)::BIGINT AS n_triangles
+        """,
+        # dense-spine gap-fill: the spine the engine GENERATES distributedly
+        # (range over n_types x n_days) is replayed as types x range(days)
+        "gapfill_days": """
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day FROM events),
+            span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e),
+            types AS (SELECT DISTINCT event_type FROM e),
+            days AS (SELECT unnest(range((SELECT dmin FROM span),
+                                         (SELECT dmax FROM span) + 1)) AS day),
+            c AS (SELECT event_type, day, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1, 2)
+            SELECT t.event_type, d.day::BIGINT AS day,
+                   COALESCE(c.n, 0)::BIGINT AS n_events
+            FROM types t CROSS JOIN days d
+            LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+        """,
+        # count-min sketch replayed exactly: same multiply-shift hashes
+        # (HUGEINT mod-2^64 = the engine's uint64 wraparound), same counter
+        # sums, same min-over-rows estimate
+        "heavy_hitters_cms": f"""
+            WITH seeds AS (SELECT r, CASE r {cms_seed_cases} END AS seed
+                           FROM (SELECT unnest(range({cms_depth})) AS r)),
+            h AS (SELECT e.user_id, s.r,
+                         (((e.user_id + 1)::HUGEINT * s.seed)
+                          % {2**64}::HUGEINT) // {2**relational5.CMS_SHIFT}::HUGEINT AS col
+                  FROM events e CROSS JOIN seeds s),
+            cnt AS (SELECT r, col, count(*)::BIGINT AS n FROM h GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT user_id FROM events),
+            cc AS (SELECT cand.user_id, s.r,
+                          (((cand.user_id + 1)::HUGEINT * s.seed)
+                           % {2**64}::HUGEINT) // {2**relational5.CMS_SHIFT}::HUGEINT AS col
+                   FROM cand CROSS JOIN seeds s),
+            est AS (SELECT cc.user_id, min(cnt.n)::BIGINT AS est_count
+                    FROM cc JOIN cnt ON cnt.r = cc.r AND cnt.col = cc.col
+                    GROUP BY 1)
+            SELECT user_id::BIGINT AS user_id, est_count FROM est
+            ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # grouped mode: argmax of (count, earliest-day tie-break) per class
+        "mode_per_group": """
+            WITH c AS (SELECT o_orderpriority,
+                              epoch_us(o_orderdate) // 86400000000 AS day,
+                              count(*)::BIGINT AS n
+                       FROM orders GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderpriority
+                      ORDER BY n DESC, day) AS rn FROM c)
+            SELECT o_orderpriority, day AS mode_day, n AS n_orders
+            FROM r WHERE rn = 1
         """,
         # market-basket pairs: distinct (order, part), baskets over the cap
         # dropped before pairing (same cap the engine applies), self-join

@@ -1,0 +1,293 @@
+"""Fifth operator batch: dense-spine gap-fill, count-min-sketch heavy
+hitters, and grouped mode — three shapes the earlier relational batches
+don't cover (spine *generation*, a second mergeable sketch family next to
+HLL/histogram, and argmax-of-counts).
+
+Engine design rules as everywhere else: no Ray Dataset.join (union +
+hash-partition groupby instead — empty-partition-safe and no aggregator
+actor armies), partial aggregation before every shuffle, integer-exact
+arithmetic so DuckDB replays results bit-for-bit.
+
+The reference (702ron/crawl4ai_llm) has no analytics of this kind at all
+(storage CRUD only, ``storage/json_storage.py``); these extend the SURVEY
+§2.9 engine-extension family over the synthetic events/orders tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+US_PER_DAY = 86_400_000_000
+_GOLDEN = 0x9E3779B97F4A7C15
+# count-min sketch geometry: 4 rows x 256 columns; odd multiplicative seeds
+# (Knuth/Dietzfelbinger multiply-shift family). Shared with the SQL oracle.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_SHIFT = 64 - 8  # >> 56 maps the top byte of the mixed hash to 0..255
+CMS_SEEDS = tuple(((2 * r + 1) * _GOLDEN) % 2**64 for r in range(CMS_DEPTH))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _events_day_bounds(sf_dir: str) -> tuple[int, int] | None:
+    """(min_day, max_day) of events.ts as epoch-day ints, from parquet
+    row-group statistics only — no data read. None if stats missing."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != "ts":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = pd.Timestamp(st.min).value // 1000  # ns -> us
+            mx = pd.Timestamp(st.max).value // 1000
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return None
+    return int(lo // US_PER_DAY), int(hi // US_PER_DAY)
+
+
+def gapfill_days(sf_dir: str, n_agg_parts: int = 8):
+    """(event_type, day, n_events): daily event counts per type with every
+    missing (type, day) cell zero-filled over the global [min_day, max_day]
+    span — the dense-spine gap-fill every time-series monitor / training-run
+    dashboard needs before rates or moving averages make sense.
+
+    Scale shape: per-batch (type, day) partial counts are the only thing
+    shuffled from the data side; the zero spine is GENERATED as a distributed
+    ``ray.data.range`` over n_types x n_days (never a driver loop), unioned
+    with the partials, and summed in one narrow hash aggregate — the
+    zeros-union idiom of graph.pagerank, so there is no join and no
+    empty-partition hazard. Day bounds come from parquet row-group
+    statistics (zero data read; falls back to an aggregate when absent).
+    At a 10^6-host per-host spine the range simply gets bigger — still
+    generated, never materialized driver-side."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = (t["ts"].cast(pa.int64()).to_numpy() // US_PER_DAY).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+             "day": days}
+        )
+        g = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+
+    bounds = _events_day_bounds(sf_dir)
+    if bounds is None:
+        bounds = (int(partials.min("day")), int(partials.max("day")))
+    dmin, dmax = bounds
+    n_days = dmax - dmin + 1
+    types = sorted(partials.unique("event_type"))  # dimension-sized
+    n_types = len(types)
+
+    def spine(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.array(types, dtype=object)[i % n_types], pa.string()
+                ),
+                "day": pa.array((dmin + i // n_types).astype(np.int64)),
+                "n": pa.array(np.zeros(len(i), dtype=np.int64)),
+            }
+        )
+
+    zeros = rd.range(n_days * n_types).map_batches(spine, batch_format="pyarrow")
+    out = (
+        zeros.union(partials)
+        .groupby(["event_type", "day"])
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": t["day"],
+                    "n_events": t["sum(n)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+def _cms_cols(keys: np.ndarray, seed: int) -> np.ndarray:
+    """Multiply-shift column index for one sketch row: top byte of
+    (key+1)*seed mod 2^64. uint64 wraparound matches the SQL replay's
+    HUGEINT mod-2^64 arithmetic exactly."""
+    with np.errstate(over="ignore"):
+        h = (keys.astype(np.uint64) + np.uint64(1)) * np.uint64(seed)
+    return (h >> np.uint64(CMS_SHIFT)).astype(np.int64)
+
+
+def heavy_hitters_cms(sf_dir: str, k: int = 20):
+    """(user_id, est_count): top-k users by count-min-sketch estimate of
+    their event count. The second mergeable-sketch family in the engine next
+    to HLL and the histogram quantiles: per-batch partial sketches are
+    (row, col, n) triples (at most depth x width = 1024 live cells), merged
+    by a narrow sum — RAW KEYS ARE NEVER SHUFFLED for the counting side,
+    which is the whole point at 10^9 keys. CMS is a sum of per-batch
+    sketches, so the merge is order-independent and the DuckDB oracle
+    replays it bit-for-bit (same multiply-shift hashes, same min-over-rows).
+
+    The candidate set scanned against the sketch is the distinct user set
+    (per-batch distinct -> one narrow shuffle); at true heavy-hitter scale
+    you would keep per-partition top-m candidates instead — documented
+    deviation, the sketch side is the scale-bearing part. The merged sketch
+    (1024 cells) is driver-safe and broadcast once via ray.put."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        rows, cols, cnts = [], [], []
+        for r, seed in enumerate(CMS_SEEDS):
+            bc = np.bincount(_cms_cols(u, seed), minlength=CMS_WIDTH)
+            nz = np.nonzero(bc)[0]
+            rows.append(np.full(len(nz), r, dtype=np.int64))
+            cols.append(nz.astype(np.int64))
+            cnts.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rows)),
+                "col": pa.array(np.concatenate(cols)),
+                "n": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby(["r", "col"])
+        .sum("n")
+        .to_pandas()  # <= depth*width rows — driver-safe by construction
+    )
+    counters = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    counters[merged["r"].to_numpy(), merged["col"].to_numpy()] = merged[
+        "sum(n)"
+    ].to_numpy()
+    counters_ref = ray.put(counters)
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": pa.array(np.unique(t["user_id"].to_numpy()))}
+        )
+
+    cand = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        c = ray.get(counters_ref)
+        u = t["user_id"].to_numpy()
+        est = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        for r, seed in enumerate(CMS_SEEDS):
+            est = np.minimum(est, c[r, _cms_cols(u, seed)])
+        df = pd.DataFrame({"user_id": u, "est_count": est})
+        # per-batch top-k partial: only k rows per batch reach the sort
+        df = df.sort_values(
+            ["est_count", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy()),
+                "est_count": pa.array(df["est_count"].to_numpy()),
+            }
+        )
+
+    return (
+        cand.map_batches(estimate, batch_format="pyarrow")
+        .sort(["est_count", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def mode_per_group(sf_dir: str):
+    """(o_orderpriority, mode_day, n_orders): the modal order date (as epoch
+    days, ties -> earliest) per priority class — argmax-of-counts, the
+    grouped statistic quantiles/corr don't cover. Two-stage: per-batch
+    (priority, day) partial counts, one narrow sum, then the per-priority
+    argmax in a map_groups over the dimension-sized priority key (5 groups —
+    the legitimate per-key map_groups case, ntile_orders precedent)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # o_orderdate is timestamp[us] in the corpus: epoch-us -> epoch-days
+        days = (
+            t["o_orderdate"].cast(pa.int64()).to_numpy() // US_PER_DAY
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "day": days,
+            }
+        )
+        g = df.groupby(["o_orderpriority", "day"], as_index=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "day"])
+        .sum("n")
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["sum(n)", "day"], ascending=[False, True], kind="mergesort"
+        )
+        top = df.iloc[:1]
+        return pd.DataFrame(
+            {
+                "o_orderpriority": top["o_orderpriority"].to_numpy(),
+                "mode_day": top["day"].to_numpy().astype(np.int64),
+                "n_orders": top["sum(n)"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return counts.groupby("o_orderpriority").map_groups(
+        argmax, batch_format="pandas"
+    )

@@ -63,3 +63,93 @@ def test_cooccur_parts_basket_cap(tmp_path):
     got = _df(r4.cooccur_parts(str(tmp_path), k=10, max_basket=4))
     assert len(got) == 1
     assert got.iloc[0].tolist() == [7, 8, 1]
+
+
+def _write_events(tmp_path, user_ids, days, types=None):
+    n = len(user_ids)
+    ts = pa.array(
+        (np.asarray(days, dtype=np.int64) * 86_400_000_000 + 3600).astype(
+            "datetime64[us]"
+        )
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": ts,
+                "user_id": pa.array(np.asarray(user_ids, dtype=np.int64)),
+                "event_type": pa.array(
+                    types if types is not None else ["click"] * n, pa.string()
+                ),
+                "value": pa.array(np.zeros(n), pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gapfill_days_zero_fills_gaps(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # clicks on days 100 and 103 (gap 101-102), one view on day 102:
+    # spine = 2 types x 4 days = 8 rows
+    _write_events(
+        tmp_path,
+        user_ids=[1, 2, 3],
+        days=[100, 103, 102],
+        types=["click", "click", "view"],
+    )
+    got = _df(r5.gapfill_days(str(tmp_path))).sort_values(
+        ["event_type", "day"]
+    )
+    assert len(got) == 8
+    cl = got[got.event_type == "click"]["n_events"].tolist()
+    vw = got[got.event_type == "view"]["n_events"].tolist()
+    assert cl == [1, 0, 0, 1]
+    assert vw == [0, 0, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_cms_overestimates_never_under(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # user 7 appears 5x, user 8 3x, 30 singletons
+    uids = [7] * 5 + [8] * 3 + list(range(100, 130))
+    _write_events(tmp_path, user_ids=uids, days=[100] * len(uids))
+    got = _df(r5.heavy_hitters_cms(str(tmp_path), k=5))
+    est = dict(zip(got["user_id"], got["est_count"]))
+    # CMS property: estimate >= true count; top entry must be user 7
+    assert got.iloc[0]["user_id"] == 7
+    assert est[7] >= 5 and est[8] >= 3
+    assert got["est_count"].is_monotonic_decreasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mode_per_group_tie_breaks_earliest(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # priority A: day 10 x2, day 12 x2 (tie -> 10); priority B: day 11 x1
+    days = [10, 10, 12, 12, 11]
+    prio = ["A", "A", "A", "A", "B"]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(5), pa.int64()),
+                "o_custkey": pa.array(np.zeros(5, np.int64)),
+                "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+                "o_totalprice": pa.array(np.zeros(5), pa.float64()),
+                "o_orderdate": pa.array(
+                    (np.asarray(days, np.int64) * 86_400_000_000).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "o_orderpriority": pa.array(prio, pa.string()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    got = _df(r5.mode_per_group(str(tmp_path))).sort_values("o_orderpriority")
+    assert got["mode_day"].tolist() == [10, 11]
+    assert got["n_orders"].tolist() == [2, 1]
