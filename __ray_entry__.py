@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill via distributed range + zeros-union (new in r4)
         "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
         "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
+        "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
@@ -1374,6 +1375,17 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # exact global rank under the engine's fixed-point key order
+        "global_rank_orders": """
+            WITH k AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM orders)
+            SELECT o_orderkey, cents,
+                   row_number() OVER (ORDER BY cents, o_orderkey)::BIGINT
+                       AS rnk
+            FROM k
         """,
         # grouped mode: argmax of (count, earliest-day tie-break) per class
         "mode_per_group": """

@@ -291,3 +291,113 @@ def mode_per_group(sf_dir: str):
     return counts.groupby("o_orderpriority").map_groups(
         argmax, batch_format="pandas"
     )
+
+
+def global_rank_orders(sf_dir: str, n_ranges: int = 16, sample_stride: int = 1024):
+    """(o_orderkey, cents, rnk): exact GLOBAL row_number of every order under
+    the total order (o_totalprice, o_orderkey) — the distributed-ranking
+    machinery ntile_orders' docstring defers to ("the distributed-sort rank
+    shape"), done the TeraSort way:
+
+    1. encode the sort key as ONE int64: cents * 2^24 + orderkey (prices are
+       2-decimal, floor(x*100+0.5) is the repo's fixed-point idiom; orderkey
+       < 2^24 holds through sf1 — documented bound, widen to two-key encode
+       beyond that).
+    2. range boundaries from a deterministic stride sample (every
+       ``sample_stride``-th key per batch -> driver; ~n/stride values, the
+       standard TeraSort sampler). Sample quality affects only BALANCE,
+       never correctness.
+    3. per-range row counts from per-batch bincount partials (a P-sized
+       aggregate — the rows themselves are NOT shuffled for the count pass),
+       prefix-summed on the driver into range offsets.
+    4. ONE hash shuffle of (key, orderkey) into ranges; local sort + local
+       rank + broadcast offset = exact global rank.
+
+    Rank is dense and unique because orderkey is unique. DuckDB replays it
+    as row_number() OVER the same fixed-point key order."""
+    import ray
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        ok = t["o_orderkey"].to_numpy()
+        key = cents * (1 << 24) + ok
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "cents": pa.array(cents),
+                "key": pa.array(key),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow").materialize()
+    if enc.count() == 0:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+
+    def sample(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy()
+        return pa.table({"key": pa.array(k[::sample_stride])})
+
+    sampled = np.sort(
+        enc.map_batches(sample, batch_format="pyarrow")
+        .to_pandas()["key"]
+        .to_numpy()
+    )
+    if len(sampled) >= n_ranges:
+        q = (np.arange(1, n_ranges) * len(sampled)) // n_ranges
+        bounds = np.unique(sampled[q])
+    else:
+        bounds = np.unique(sampled)[:-1] if len(sampled) > 1 else np.array(
+            [], dtype=np.int64
+        )
+    nb = len(bounds) + 1  # number of ranges
+
+    def assign(t: pa.Table) -> pa.Table:
+        rp = np.searchsorted(bounds, t["key"].to_numpy(), side="right")
+        return t.append_column("rp", pa.array(rp.astype(np.int64)))
+
+    ranged = enc.map_batches(assign, batch_format="pyarrow").materialize()
+
+    # per-range counts WITHOUT shuffling rows: per-batch bincount partials
+    def count_partial(t: pa.Table) -> pa.Table:
+        bc = np.bincount(t["rp"].to_numpy(), minlength=nb)
+        return pa.table(
+            {
+                "rp": pa.array(np.arange(nb, dtype=np.int64)),
+                "c": pa.array(bc.astype(np.int64)),
+            }
+        )
+
+    cnt = (
+        ranged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("rp")
+        .sum("c")
+        .to_pandas()  # nb rows — driver-safe
+        .sort_values("rp")
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    counts[cnt["rp"].to_numpy()] = cnt["sum(c)"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    offsets_ref = ray.put(offsets)
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("key", kind="mergesort")
+        base = ray.get(offsets_ref)[int(df["rp"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "cents": df["cents"].to_numpy(),
+                "rnk": base + 1 + np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    return ranged.groupby("rp").map_groups(local_rank, batch_format="pandas")

@@ -153,3 +153,44 @@ def test_mode_per_group_tie_breaks_earliest(tmp_path):
     got = _df(r5.mode_per_group(str(tmp_path))).sort_values("o_orderpriority")
     assert got["mode_day"].tolist() == [10, 11]
     assert got["n_orders"].tolist() == [2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_orders_exact_and_partition_invariant(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # 100 orders, shuffled prices with duplicates (ties broken by orderkey)
+    rng = np.random.default_rng(7)
+    n = 100
+    prices = rng.choice([10.00, 20.50, 20.50, 99.99, 5.25], size=n)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(1, n + 1), pa.int64()),
+                "o_custkey": pa.array(np.zeros(n, np.int64)),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(
+                    np.full(n, 10 * 86_400_000_000).astype("datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["A"] * n, pa.string()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    base = None
+    for n_ranges, stride in [(4, 8), (16, 1)]:
+        got = (
+            _df(r5.global_rank_orders(str(tmp_path), n_ranges=n_ranges,
+                                      sample_stride=stride))
+            .sort_values("rnk")
+            .reset_index(drop=True)
+        )
+        # dense unique 1..n ranks, order matches (cents, orderkey)
+        assert got["rnk"].tolist() == list(range(1, n + 1))
+        keys = list(zip(got["cents"], got["o_orderkey"]))
+        assert keys == sorted(keys)
+        if base is None:
+            base = got
+        else:  # partitioning/sampling must not change the result
+            pd.testing.assert_frame_equal(base, got)
