@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
         "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
+        "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (new in r4)
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
@@ -1375,6 +1376,35 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # strict-order windowed first-touch funnel: each step's frontier is
+        # the min time of that step AFTER and within 24 h of the previous
+        # step's frontier (same chain the engine's per-partition merges
+        # compute)
+        "funnel_depth": """
+            WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN t1 ON t1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t
+                     AND epoch_us(e.ts) <= t1.t + 86400000000
+                   GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                   FROM events e JOIN t2 ON t2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t
+                     AND epoch_us(e.ts) <= t2.t + 86400000000
+                   GROUP BY 1),
+            u AS (SELECT DISTINCT user_id FROM events),
+            d AS (SELECT u.user_id,
+                         CASE WHEN t3.user_id IS NOT NULL THEN 3
+                              WHEN t2.user_id IS NOT NULL THEN 2
+                              WHEN t1.user_id IS NOT NULL THEN 1
+                              ELSE 0 END AS depth
+                  FROM u LEFT JOIN t1 USING (user_id)
+                         LEFT JOIN t2 USING (user_id)
+                         LEFT JOIN t3 USING (user_id))
+            SELECT depth::BIGINT AS depth, count(*)::BIGINT AS n_users
+            FROM d GROUP BY 1
         """,
         # exact global rank under the engine's fixed-point key order
         "global_rank_orders": """

@@ -401,3 +401,73 @@ def global_rank_orders(sf_dir: str, n_ranges: int = 16, sample_stride: int = 102
         )
 
     return ranged.groupby("rp").map_groups(local_rank, batch_format="pandas")
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_depth(sf_dir: str, n_parts: int = 16, window_us: int = 24 * 3600 * 1_000_000):
+    """(depth, n_users): strict-order funnel analysis over the events table —
+    for each user, how far they progressed through view -> click -> purchase,
+    each step STRICTLY after and within ``window_us`` (default 24 h) of the
+    EARLIEST completion of the previous step (the standard windowed
+    first-touch funnel). depth 0 rows count users with events but no view.
+    Sequential-pattern machinery none of the window/sessionize ops cover.
+
+    Scale shape: hash-partition on user_id makes each user's history
+    partition-complete; inside a partition the step chain is THREE vectorized
+    merges (per-step groupby-min against the previous step's frontier time),
+    not a per-user loop; only (depth, partial_count) rows leave the
+    partition."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        up = (t["user_id"].to_numpy().astype(np.uint64) % np.uint64(n_parts))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "up": pa.array(up.astype(np.int64)),
+            }
+        )
+
+    def depth_partial(df: pd.DataFrame) -> pd.DataFrame:
+        users = df["user_id"].drop_duplicates()
+        depth = pd.Series(np.zeros(len(users), dtype=np.int64),
+                          index=users.to_numpy())
+        # frontier[u] = earliest completion time of the last reached step
+        frontier = None  # None = step 0 (no time constraint yet)
+        for step_i, step in enumerate(FUNNEL_STEPS):
+            ev = df[df["event_type"] == step][["user_id", "ts_us"]]
+            if frontier is not None:
+                ev = ev.merge(frontier, on="user_id")
+                ev = ev[
+                    (ev["ts_us"] > ev["t_prev"])
+                    & (ev["ts_us"] <= ev["t_prev"] + window_us)
+                ]
+            hit = ev.groupby("user_id", as_index=False)["ts_us"].min()
+            if hit.empty:
+                break
+            depth.loc[hit["user_id"].to_numpy()] = step_i + 1
+            frontier = hit.rename(columns={"ts_us": "t_prev"})
+        g = pd.DataFrame({"depth": depth.to_numpy()}).groupby(
+            "depth", as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "depth": g["depth"].to_numpy().astype(np.int64),
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("up")
+        .map_groups(depth_partial, batch_format="pandas")
+    )
+    out = partials.groupby("depth").sum("n").map_batches(
+        lambda t: pa.table({"depth": t["depth"], "n_users": t["sum(n)"]}),
+        batch_format="pyarrow",
+    )
+    return out

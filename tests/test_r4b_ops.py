@@ -194,3 +194,26 @@ def test_global_rank_orders_exact_and_partition_invariant(tmp_path):
             base = got
         else:  # partitioning/sampling must not change the result
             pd.testing.assert_frame_equal(base, got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_depth_hand_built(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # times in DAYS (each event at the same offset into its day, so
+    # consecutive days are exactly 24h apart — inside the <= 24h window):
+    # u1: view d1, click d2, purchase d3 -> depth 3
+    # u2: view d1, click d2, purchase d30 (purchase outside window) -> depth 2
+    # u3: click d1 only (no view) -> depth 0
+    # u4: view d5, click d4 (click BEFORE view) -> depth 1
+    uids = [1, 1, 1, 2, 2, 2, 3, 4, 4]
+    days = [1, 2, 3, 1, 2, 30, 1, 5, 4]
+    types = [
+        "view", "click", "purchase",
+        "view", "click", "purchase",
+        "click",
+        "view", "click",
+    ]
+    _write_events(tmp_path, user_ids=uids, days=days, types=types)
+    got = _df(r5.funnel_depth(str(tmp_path))).sort_values("depth")
+    assert dict(zip(got["depth"], got["n_users"])) == {0: 1, 1: 1, 2: 1, 3: 1}
