@@ -46,13 +46,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # each round so distinct-machinery queries cycle through the driver
     # record: r4 moved regional_revenue / approx_quantiles_hist /
     # embed_dedup_clusters / extract_products in, four same-machinery
-    # variants out (VERDICT r3 item 9).
+    # variants out (VERDICT r3 item 9); the late-r4 rotation moved the seven
+    # new distinct-machinery ops (crawl_triangles, cooccur_parts,
+    # gapfill_days, heavy_hitters_cms, mode_per_group, global_rank_orders,
+    # funnel_depth) in and seven sibling-covered entries out (each tagged
+    # "demoted r4 rotation" below).
     return {
         # --- crawl pipeline artifacts (exact parity in pytest; every one
         #     ALSO DuckDB-oracle-checked — doc_stats/span_explode via unnest,
         #     metrics/seen_set via full SQL replay of the frontier semantics) ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
-        "crawl_doc_stats": crawl_queries.crawl_doc_stats,
         "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of over the interleaved payload (new in r4; crawl_span_explode, whose flatten machinery this strictly contains, moved to the tail)
         "crawl_metrics": crawl_queries.crawl_metrics,          # full accounting replay
         "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
@@ -63,31 +66,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
         "sort_paginate": relational.sort_paginate,            # O1/O2
-        "semi_join": relational.semi_join,                    # J1
         "anti_join": relational.anti_join,                    # J3
         "upsert_latest": relational.upsert_last_writer,       # M6
         "key_derivation": relational.key_derivation,          # M1
         "broadcast_join_agg": relational.broadcast_join_agg,  # star join
         "window_tumbling": relational.window_tumbling,        # §2.9
         "asof_join": relational4.asof_join,                   # §2.9 as-of (novel shape — in-window; count_group, its A1 near-dup of agg_q1, moved to the tail)
-        "json_filter": relational.json_filter,                # M4 dot-notation
         "join_3way_topk": relational2.join_3way_topk,
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
         "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill (new in r4)
-        "sessionize": relational2.sessionize,                 # §2.9
         "unigram_logprob": text.unigram_logprob,              # CCNet-shape LM quality gate, exact fixed-point (new in r4; token_count_bpe, whose tokenize machinery token_count shows in the tail, moved out)
         "topk_per_group": relational3.topk_per_group,
-        "quantiles_per_group": relational3.quantiles_per_group,
         "corr_per_group": relational3.corr_per_group,
         "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
         "approx_quantiles_hist": relational4.approx_quantiles_hist,  # mergeable-histogram sketch (rotated in r4)
         # --- text analysis ---
         "quality_score": text.quality_score,
-        "lang_id": text.lang_id,
         "corpus_curation": text.corpus_curation,               # composed curation pass
         "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (new in r4)
         "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
-        "tfidf_top_terms": text.tfidf_top_terms,               # corpus-df keyword extraction (new in r4)
         "bm25_topk": text.bm25_topk,                           # ranked keyword retrieval, two-pass corpus stats (new in r4)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; both sampling twins — random_sample and deterministic_sample — sit in the tail since r4)
         # --- dedup family ---
@@ -112,13 +109,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     rotation moved regional_revenue / approx_quantiles_hist /
         #     embed_dedup_clusters / extract_products INTO the window and
         #     these same-machinery variants out) ---
-        "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4)
+        "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4, in-window)
         "cooccur_parts": relational4.cooccur_parts,            # market-basket pair mining, partition-local quadratic expansion + skew cap (new in r4)
         "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill via distributed range + zeros-union (new in r4)
         "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
         "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
         "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (new in r4)
+        "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
+        "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
+        "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
+        "sessionize": relational2.sessionize,                  # §2.9 (ordered-gap machinery of window_sliding/asof; demoted r4 rotation)
+        "quantiles_per_group": relational3.quantiles_per_group,  # (exact twin of approx_quantiles_hist; demoted r4 rotation)
+        "tfidf_top_terms": text.tfidf_top_terms,               # corpus-df keywords (bm25_topk contains the df machinery; demoted r4 rotation)
+        "lang_id": text.lang_id,                               # (corpus_curation composes lang+quality; demoted r4 rotation)
         "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
         "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
         "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)

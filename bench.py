@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "bm25_topk",             # r4: two-pass sparse retrieval
     "unigram_logprob",       # r4: term-partitioned LM quality gate
     "kmeans_embed",          # r4: 3 streaming Lloyd's passes, exact int
+    "cooccur_parts",         # r4: basket pair expansion over lineitem (largest table)
+    "heavy_hitters_cms",     # r4: count-min partial sketches + candidate scan
+    "global_rank_orders",    # r4: TeraSort range-partitioned exact ranking
 ]
 
 
