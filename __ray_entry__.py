@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
         "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (new in r4)
+        "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
         "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
         "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
@@ -1380,6 +1381,17 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # per-column profiling census (engine canonicalizes floats to cents
+        # and timestamps to epoch-us before hashing — distinct counts equal
+        # raw distinct counts because prices are 2-decimal by construction)
+        "profile_orders": """
+            SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n_rows, (count(*) - count(o_orderkey))::BIGINT AS n_null, count(DISTINCT o_orderkey)::BIGINT AS n_distinct FROM orders
+            UNION ALL SELECT 'o_custkey' AS col, count(*)::BIGINT AS n_rows, (count(*) - count(o_custkey))::BIGINT AS n_null, count(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
+            UNION ALL SELECT 'o_orderstatus' AS col, count(*)::BIGINT AS n_rows, (count(*) - count(o_orderstatus))::BIGINT AS n_null, count(DISTINCT o_orderstatus)::BIGINT AS n_distinct FROM orders
+            UNION ALL SELECT 'o_totalprice' AS col, count(*)::BIGINT AS n_rows, (count(*) - count(o_totalprice))::BIGINT AS n_null, count(DISTINCT o_totalprice)::BIGINT AS n_distinct FROM orders
+            UNION ALL SELECT 'o_orderdate' AS col, count(*)::BIGINT AS n_rows, (count(*) - count(o_orderdate))::BIGINT AS n_null, count(DISTINCT o_orderdate)::BIGINT AS n_distinct FROM orders
+            UNION ALL SELECT 'o_orderpriority' AS col, count(*)::BIGINT AS n_rows, (count(*) - count(o_orderpriority))::BIGINT AS n_null, count(DISTINCT o_orderpriority)::BIGINT AS n_distinct FROM orders
         """,
         # strict-order windowed first-touch funnel: each step's frontier is
         # the min time of that step AFTER and within 24 h of the previous

@@ -471,3 +471,128 @@ def funnel_depth(sf_dir: str, n_parts: int = 16, window_us: int = 24 * 3600 * 1_
         batch_format="pyarrow",
     )
     return out
+
+
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def profile_orders(sf_dir: str, n_parts: int = 16):
+    """(col, n_rows, n_null, n_distinct): one-pass data-profiling census
+    of the orders table — the schema-validation summary every ingestion
+    pipeline runs before trusting a new drop of data. Long format, one row
+    per column.
+
+    Scale shape: row/null counts are per-batch partials summed in a tiny
+    aggregate; exact distinct counts shuffle only PER-BATCH-DISTINCT
+    (column, value-hash) pairs — re-deduped per hash partition and counted,
+    so the shuffle payload is bounded by distinct cardinality, not row
+    count. Values are canonicalized (timestamp→epoch-us, 2-decimal float→
+    cents) and FNV-hashed to u64 before leaving the batch; 64-bit collision
+    risk is the dedup family's documented accepted risk. At 10^12 rows the
+    n_distinct leg swaps to the HLL sketch (approx_distinct_hll) — the
+    partials here are already shaped for that swap."""
+    ds = _read(sf_dir, "orders", columns=list(PROFILE_COLUMNS))
+
+    from ..functions.hashing import fnv1a64
+
+    def canon(c: pa.Array) -> pa.Array:
+        t = c.type
+        if pa.types.is_timestamp(t):
+            c = c.cast(pa.int64())
+        elif pa.types.is_floating(t):
+            c = pa.compute.round(pa.compute.multiply(c, 100.0)).cast(
+                pa.int64()
+            )
+        return c.cast(pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        ci, h, kind, nr, nn = [], [], [], [], []
+        n = t.num_rows
+        for idx, name in enumerate(PROFILE_COLUMNS):
+            c = t[name]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            hs = np.unique(fnv1a64(canon(c).drop_null()))
+            m = len(hs)
+            # kind 0: batch-distinct value hashes of this column
+            ci.append(np.full(m, idx, dtype=np.int64))
+            h.append(hs.astype(np.int64))
+            kind.append(np.zeros(m, dtype=np.int64))
+            nr.append(np.zeros(m, dtype=np.int64))
+            nn.append(np.zeros(m, dtype=np.int64))
+            # kind 1: one meta row with (n_rows, n_null) partials
+            ci.append(np.array([idx], dtype=np.int64))
+            h.append(np.array([0], dtype=np.int64))
+            kind.append(np.array([1], dtype=np.int64))
+            nr.append(np.array([n], dtype=np.int64))
+            nn.append(np.array([c.null_count], dtype=np.int64))
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(ci)),
+                "h": pa.array(np.concatenate(h)),
+                "kind": pa.array(np.concatenate(kind)),
+                "nr": pa.array(np.concatenate(nr)),
+                "nn": pa.array(np.concatenate(nn)),
+                "hp": pa.array(
+                    (
+                        np.concatenate(h).astype(np.uint64)
+                        % np.uint64(n_parts)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    rows = ds.map_batches(partials, batch_format="pyarrow")
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0].drop_duplicates(["ci", "h"])
+        dist = d.groupby("ci", as_index=False).size().rename(
+            columns={"size": "n_distinct"}
+        )
+        meta = df[df["kind"] == 1].groupby("ci", as_index=False).agg(
+            n_rows=("nr", "sum"), n_null=("nn", "sum")
+        )
+        out = dist.merge(meta, on="ci", how="outer").fillna(0)
+        return pd.DataFrame(
+            {
+                "ci": out["ci"].to_numpy().astype(np.int64),
+                "n_rows": out["n_rows"].to_numpy().astype(np.int64),
+                "n_null": out["n_null"].to_numpy().astype(np.int64),
+                "n_distinct": out["n_distinct"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ci", as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_null=("n_null", "sum"),
+            n_distinct=("n_distinct", "sum"),
+        )
+        g = g.sort_values("ci")
+        return pd.DataFrame(
+            {
+                "col": [PROFILE_COLUMNS[i] for i in g["ci"]],
+                "n_rows": g["n_rows"].to_numpy().astype(np.int64),
+                "n_null": g["n_null"].to_numpy().astype(np.int64),
+                "n_distinct": g["n_distinct"].to_numpy().astype(np.int64),
+            }
+        )
+
+    # partition by value hash: each (ci, h) lands in exactly one partition,
+    # so per-partition dedup + count sums to the exact global distinct count;
+    # meta rows ride the same shuffle (their per-partition sums add up)
+    # the finalize funnel sees <= n_parts x n_columns rows (dimension-sized
+    # partials — the legitimate repartition(1) case per functions/agg.py)
+    return (
+        rows.groupby("hp")
+        .map_groups(reduce_part, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
+    )

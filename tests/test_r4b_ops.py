@@ -1,5 +1,6 @@
 """Round-4 second batch: market-basket co-occurrence, time-series gap-fill,
-count-min-sketch heavy hitters, grouped mode."""
+count-min-sketch heavy hitters, grouped mode, TeraSort global ranking,
+windowed funnel, per-column profiling census."""
 
 import numpy as np
 import pandas as pd
@@ -217,3 +218,37 @@ def test_funnel_depth_hand_built(tmp_path):
     _write_events(tmp_path, user_ids=uids, days=days, types=types)
     got = _df(r5.funnel_depth(str(tmp_path))).sort_values("depth")
     assert dict(zip(got["depth"], got["n_users"])) == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_orders_counts_nulls_and_distincts(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    n = 7
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2, None, None, 2, 1], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F", "O", "O", "F", "O", "O"]),
+                "o_totalprice": pa.array(
+                    [1.00, 1.00, 2.50, 2.50, 3.75, None, 1.00], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    np.array([0, 0, 86400, 86400, 0, 0, 0], dtype="int64")
+                    * 1_000_000
+                ).cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array(["A"] * n, pa.string()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    got = _df(r5.profile_orders(str(tmp_path))).set_index("col")
+    assert (got["n_rows"] == n).all()
+    assert got.loc["o_custkey", "n_null"] == 2
+    assert got.loc["o_custkey", "n_distinct"] == 2
+    assert got.loc["o_totalprice", "n_null"] == 1
+    assert got.loc["o_totalprice", "n_distinct"] == 3
+    assert got.loc["o_orderdate", "n_distinct"] == 2
+    assert got.loc["o_orderpriority", "n_distinct"] == 1
+    assert got.loc["o_orderkey", "n_distinct"] == n
