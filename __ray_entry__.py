@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
         "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (new in r4)
         "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
+        "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
+        "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
         "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
         "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
@@ -1381,6 +1383,56 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # per-host linkage profile: distinct induced edges (same CTE chain as
+        # crawl_triangles), hosts split from canonical URLs, intra/inter +
+        # distinct fan-out per source host
+        "crawl_host_linkage": f"""
+            WITH docs AS (SELECT url_canon, spans FROM {crawl_docs}),
+            nodes AS (SELECT DISTINCT url_canon AS node FROM docs),
+            l AS (SELECT url_canon AS src, s.media_ref AS ref
+                  FROM (SELECT url_canon, unnest(spans) AS s FROM docs)
+                  WHERE s.kind = 'link'),
+            c1 AS (SELECT src, regexp_replace(ref, '#.*$', '') AS u FROM l),
+            c2 AS (SELECT src,
+                          lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                          regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                          regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+                   FROM c1),
+            c3 AS (SELECT src, regexp_replace(rawhost, ':80$', '') AS host,
+                          CASE WHEN rawpath = '' THEN '/'
+                               WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                               THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                          CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                          END AS q
+                   FROM c2),
+            t AS (SELECT src, 'http://' || host || path || q AS dst FROM c3),
+            de AS (SELECT DISTINCT t.src, t.dst
+                   FROM t JOIN nodes ON t.dst = nodes.node
+                   WHERE t.src <> t.dst),
+            hp AS (SELECT regexp_extract(src, '^http://([^/]*)', 1) AS hs,
+                          regexp_extract(dst, '^http://([^/]*)', 1) AS hd
+                   FROM de)
+            SELECT hs AS host,
+                   sum(CASE WHEN hs = hd THEN 1 ELSE 0 END)::BIGINT AS n_intra,
+                   sum(CASE WHEN hs <> hd THEN 1 ELSE 0 END)::BIGINT AS n_inter,
+                   count(DISTINCT CASE WHEN hs <> hd THEN hd END)::BIGINT
+                       AS n_hosts_out
+            FROM hp GROUP BY 1
+        """,
+        # cohort retention: first-event week per user, distinct active
+        # (user, week-offset) pairs, counted per cohort cell
+        "cohort_retention": """
+            WITH c AS (SELECT user_id,
+                              min(epoch_us(ts)) // 604800000000 AS cw
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, c.cw,
+                         epoch_us(e.ts) // 604800000000 - c.cw AS off
+                  FROM events e JOIN c USING (user_id))
+            SELECT cw::BIGINT AS cohort_week, off::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_active
+            FROM a GROUP BY 1, 2
         """,
         # per-column profiling census (engine canonicalizes floats to cents
         # and timestamps to epoch-us before hashing — distinct counts equal

@@ -613,3 +613,83 @@ def crawl_media_context(sf_dir: str = ""):
         .select_columns(["doc_id", "spans"])
         .map_batches(ctx, batch_format="pyarrow")
     )
+
+
+def crawl_host_linkage(sf_dir: str = ""):
+    """(host, n_intra, n_inter, n_hosts_out): per-host linkage profile over
+    the induced link graph — self-links within the host (n_intra),
+    cross-host links out (n_inter), and the distinct fan-out host count.
+    The assortativity view a crawl operator reads to find link farms (high
+    intra) vs hub pages (high fan-out). Counts are over DISTINCT page-level
+    edges of the induced subgraph (same edge domain as crawl_pagerank): all
+    copies of a (src, dst) edge share src's hash, so the dedup is
+    partition-local (the dedup_deg shape) and the partition emits
+    pre-aggregated (host_src, host_dst) pair partials; hosts split from the
+    canonical URLs with one Arrow regex kernel."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import fnv1a64
+
+    out = ensure_crawl()
+    _, edges = _induced_link_graph(out)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ep = (fnv1a64(t["src"]) % np.uint64(8)).astype(np.int64)
+        return t.append_column("ep", pa.array(ep))
+
+    def host_pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src", "dst"])
+        hs = df["src"].str.extract(r"^http://([^/]*)", expand=False)
+        hd = df["dst"].str.extract(r"^http://([^/]*)", expand=False)
+        g = pd.DataFrame({"hs": hs, "hd": hd}).groupby(
+            ["hs", "hd"], as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "hs": g["hs"],
+                "hd": g["hd"],
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    pairs = (
+        edges.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ep")
+        .map_groups(host_pair_partials, batch_format="pandas")
+        .groupby(["hs", "hd"])
+        .sum("n")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        intra = df["hs"].to_numpy() == df["hd"].to_numpy()
+        n = df["sum(n)"].to_numpy()
+        out_rows = pd.DataFrame(
+            {
+                "host": df["hs"].to_numpy(),
+                "intra": np.where(intra, n, 0).astype(np.int64),
+                "inter": np.where(~intra, n, 0).astype(np.int64),
+                "fan": (~intra).astype(np.int64),
+            }
+        )
+        g = out_rows.groupby("host", as_index=False).agg(
+            n_intra=("intra", "sum"),
+            n_inter=("inter", "sum"),
+            n_hosts_out=("fan", "sum"),
+        )
+        for c in ("n_intra", "n_inter", "n_hosts_out"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    # host-pair table is dimension-sized (hosts x avg-fanout); the final
+    # per-host rollup groups by src host — partition on hs keeps it exact
+    def part(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64
+
+        hp = (fnv1a64(t["hs"]) % np.uint64(8)).astype(np.int64)
+        return t.append_column("hp", pa.array(hp))
+
+    return (
+        pairs.map_batches(part, batch_format="pyarrow")
+        .groupby("hp")
+        .map_groups(finalize, batch_format="pandas")
+    )

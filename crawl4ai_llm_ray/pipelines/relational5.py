@@ -596,3 +596,71 @@ def profile_orders(sf_dir: str, n_parts: int = 16):
         .repartition(1)
         .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
+
+
+US_PER_WEEK = 7 * US_PER_DAY
+
+
+def cohort_retention(sf_dir: str, n_parts: int = 16):
+    """(cohort_week, week_offset, n_active): classic cohort-retention matrix
+    — users grouped by the epoch-week of their FIRST event, counted as
+    active in every later week they produce any event. The
+    longitudinal-analytics counterpart of funnel_depth (lifecycle rather
+    than sequence).
+
+    Scale shape: user-hash partitioning makes each user's history
+    partition-complete, so the cohort week (per-user min) is a groupby-min
+    inside the partition, the (user, offset) distinct is partition-local,
+    and the partition emits pre-aggregated (cohort_week, offset, n) partials
+    — users never appear in two partitions, so partial counts sum exactly.
+    One narrow final sum."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        up = (t["user_id"].to_numpy().astype(np.uint64) % np.uint64(n_parts))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "wk": pa.array(
+                    (t["ts"].cast(pa.int64()).to_numpy() // US_PER_WEEK).astype(
+                        np.int64
+                    )
+                ),
+                "up": pa.array(up.astype(np.int64)),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cw = df.groupby("user_id")["wk"].transform("min")
+        off = df["wk"].to_numpy() - cw.to_numpy()
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "cohort_week": cw.to_numpy(),
+                "week_offset": off,
+            }
+        ).drop_duplicates()
+        g = d.groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "cohort_week": g["cohort_week"].to_numpy().astype(np.int64),
+                "week_offset": g["week_offset"].to_numpy().astype(np.int64),
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("up")
+        .map_groups(partial, batch_format="pandas")
+    )
+    return partials.groupby(["cohort_week", "week_offset"]).sum("n").map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_week": t["cohort_week"],
+                "week_offset": t["week_offset"],
+                "n_active": t["sum(n)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -76,3 +76,22 @@ def test_triangle_count_two_disjoint_triangles_plus_chord():
     assert r["n_triangles"] == 2
     # degrees a,b,e,f = 2 and c,d = 3 → wedges = 4*1 + 2*3 = 10
     assert r["n_wedges"] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_host_linkage_consistency():
+    from crawl4ai_llm_ray.pipelines import crawl_queries as cq
+
+    df = cq.crawl_host_linkage().to_pandas()
+    assert len(df) > 0
+    # every listed host has at least one outgoing edge; fan-out counts
+    # distinct hosts so it can never exceed the cross-host edge count
+    assert ((df["n_intra"] + df["n_inter"]) > 0).all()
+    assert (df["n_hosts_out"] <= df["n_inter"]).all()
+    # census consistency with the triangle/pagerank edge domain: total
+    # distinct induced edges = sum of intra + inter
+    tri = cq.crawl_triangles().to_pandas().iloc[0]
+    # crawl_triangles counts UNDIRECTED distinct pairs; the directed count
+    # (intra+inter) must be >= that and <= 2x
+    directed = int((df["n_intra"] + df["n_inter"]).sum())
+    assert tri["n_edges"] <= directed <= 2 * tri["n_edges"]

@@ -252,3 +252,25 @@ def test_profile_orders_counts_nulls_and_distincts(tmp_path):
     assert got.loc["o_orderdate", "n_distinct"] == 2
     assert got.loc["o_orderpriority", "n_distinct"] == 1
     assert got.loc["o_orderkey", "n_distinct"] == n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_retention_hand_built(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # weeks are day//7: u1 first wk 0, active wks 0,1,3; u2 first wk 0,
+    # active wk 0 only; u3 first wk 1, active wks 1,2
+    uids = [1, 1, 1, 1, 2, 3, 3]
+    days = [0, 7, 21, 1, 3, 8, 14]
+    _write_events(tmp_path, user_ids=uids, days=days)
+    got = _df(r5.cohort_retention(str(tmp_path)))
+    cells = {
+        (r.cohort_week, r.week_offset): r.n_active for r in got.itertuples()
+    }
+    assert cells == {
+        (0, 0): 2,  # u1, u2
+        (0, 1): 1,  # u1
+        (0, 3): 1,  # u1
+        (1, 0): 1,  # u3
+        (1, 1): 1,  # u3
+    }
