@@ -35,6 +35,23 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _renamed_sum(out_cols: dict):
+    """Schema-guarded rename for groupby().sum() outputs: on the empty
+    dataset Ray hands the next operator a columnless block — return a typed
+    empty table instead of KeyErroring. out_cols maps output name -> (source
+    column, pyarrow type)."""
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(
+            src not in t.column_names for src, _ in out_cols.values()
+        ):
+            return pa.table(
+                {name: pa.array([], typ) for name, (_, typ) in out_cols.items()}
+            )
+        return pa.table({name: t[src] for name, (src, _) in out_cols.items()})
+
+    return fix
+
+
 def _events_day_bounds(sf_dir: str) -> tuple[int, int] | None:
     """(min_day, max_day) of events.ts as epoch-day ints, from parquet
     row-group statistics only — no data read. None if stats missing."""
@@ -127,22 +144,21 @@ def gapfill_days(sf_dir: str, n_agg_parts: int = 8):
         )
 
     zeros = rd.range(n_days * n_types).map_batches(spine, batch_format="pyarrow")
-    out = (
+    return (
         zeros.union(partials)
         .groupby(["event_type", "day"])
         .sum("n")
         .map_batches(
-            lambda t: pa.table(
+            _renamed_sum(
                 {
-                    "event_type": t["event_type"],
-                    "day": t["day"],
-                    "n_events": t["sum(n)"],
+                    "event_type": ("event_type", pa.string()),
+                    "day": ("day", pa.int64()),
+                    "n_events": ("sum(n)", pa.int64()),
                 }
             ),
             batch_format="pyarrow",
         )
     )
-    return out
 
 
 def _cms_cols(keys: np.ndarray, seed: int) -> np.ndarray:
@@ -197,9 +213,10 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
         .to_pandas()  # <= depth*width rows — driver-safe by construction
     )
     counters = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
-    counters[merged["r"].to_numpy(), merged["col"].to_numpy()] = merged[
-        "sum(n)"
-    ].to_numpy()
+    if len(merged):  # empty corpus -> columnless frame; sketch stays zero
+        counters[merged["r"].to_numpy(), merged["col"].to_numpy()] = merged[
+            "sum(n)"
+        ].to_numpy()
     counters_ref = ray.put(counters)
 
     def batch_distinct(t: pa.Table) -> pa.Table:
@@ -466,11 +483,12 @@ def funnel_depth(sf_dir: str, n_parts: int = 16, window_us: int = 24 * 3600 * 1_
         .groupby("up")
         .map_groups(depth_partial, batch_format="pandas")
     )
-    out = partials.groupby("depth").sum("n").map_batches(
-        lambda t: pa.table({"depth": t["depth"], "n_users": t["sum(n)"]}),
+    return partials.groupby("depth").sum("n").map_batches(
+        _renamed_sum(
+            {"depth": ("depth", pa.int64()), "n_users": ("sum(n)", pa.int64())}
+        ),
         batch_format="pyarrow",
     )
-    return out
 
 
 PROFILE_COLUMNS = (
@@ -655,11 +673,11 @@ def cohort_retention(sf_dir: str, n_parts: int = 16):
         .map_groups(partial, batch_format="pandas")
     )
     return partials.groupby(["cohort_week", "week_offset"]).sum("n").map_batches(
-        lambda t: pa.table(
+        _renamed_sum(
             {
-                "cohort_week": t["cohort_week"],
-                "week_offset": t["week_offset"],
-                "n_active": t["sum(n)"],
+                "cohort_week": ("cohort_week", pa.int64()),
+                "week_offset": ("week_offset", pa.int64()),
+                "n_active": ("sum(n)", pa.int64()),
             }
         ),
         batch_format="pyarrow",

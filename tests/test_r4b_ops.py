@@ -274,3 +274,61 @@ def test_cohort_retention_hand_built(tmp_path):
         (1, 0): 1,  # u3
         (1, 1): 1,  # u3
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_r4b_ops_on_empty_tables(tmp_path):
+    """Zero-row inputs: every round-4b operator returns empty (or an empty
+    census) instead of crashing — Ray can skip map_batches entirely on empty
+    datasets and hand downstream code columnless frames."""
+    from crawl4ai_llm_ray.pipelines import relational4 as r4
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+
+    assert len(_df(r4.cooccur_parts(d))) == 0
+    assert len(_df(r5.gapfill_days(d))) == 0
+    assert len(_df(r5.heavy_hitters_cms(d))) == 0
+    assert len(_df(r5.mode_per_group(d))) == 0
+    assert len(_df(r5.global_rank_orders(d))) == 0
+    assert len(_df(r5.funnel_depth(d))) == 0
+    assert len(_df(r5.cohort_retention(d))) == 0
+    prof = _df(r5.profile_orders(d))
+    # profiling an empty table is still a census: one row per column, all 0
+    if len(prof):
+        assert (prof[["n_rows", "n_null", "n_distinct"]] == 0).all().all()
