@@ -1004,6 +1004,16 @@ def cooccur_parts(
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["p1", "p2"], as_index=False).agg(n_orders=("n", "sum"))
         g["n_orders"] = g["n_orders"].astype(np.int64)
+        # every pair is wholly inside this pp partition, so the global top-k
+        # is contained in the union of per-partition top-k — emit only k rows
+        # per partition and the final sort sees n_parts*k rows, not the full
+        # pair table (kills the third full shuffle; stage-audited in
+        # BASELINE.md)
+        g = g.sort_values(
+            ["n_orders", "p1", "p2"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
         return g[["p1", "p2", "n_orders"]]
 
     partials = (
@@ -1011,7 +1021,7 @@ def cooccur_parts(
         .groupby("op")
         .map_groups(pair_partials, batch_format="pandas")
     )
-    totals = partials.groupby("pp").map_groups(final_sum, batch_format="pandas")
-    return totals.sort(
+    topk = partials.groupby("pp").map_groups(final_sum, batch_format="pandas")
+    return topk.sort(
         ["n_orders", "p1", "p2"], descending=[True, False, False]
     ).limit(k)
