@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
+        "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
         "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
         "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
@@ -1383,6 +1384,34 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # robust anomaly days: gapfill CTEs + integer median/MAD
+        # (quantile_disc), flag |n - med| > 3 * max(mad, 1)
+        "anomaly_days": """
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day FROM events),
+            span AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e),
+            types AS (SELECT DISTINCT event_type FROM e),
+            days AS (SELECT unnest(range((SELECT dmin FROM span),
+                                         (SELECT dmax FROM span) + 1)) AS day),
+            c AS (SELECT event_type, day, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1, 2),
+            g AS (SELECT t.event_type, d.day, COALESCE(c.n, 0)::BIGINT AS n
+                  FROM types t CROSS JOIN days d
+                  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+            m AS (SELECT event_type,
+                         CAST(quantile_disc(n, 0.5) AS BIGINT) AS med
+                  FROM g GROUP BY 1),
+            dev AS (SELECT g.event_type, g.day, g.n, m.med,
+                           abs(g.n - m.med) AS ad
+                    FROM g JOIN m USING (event_type)),
+            mad AS (SELECT event_type,
+                           CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+                    FROM dev GROUP BY 1)
+            SELECT d.event_type, d.day::BIGINT AS day, d.n AS n_events,
+                   d.med AS med, m2.mad AS mad
+            FROM dev d JOIN mad m2 USING (event_type)
+            WHERE d.ad > 3 * GREATEST(m2.mad, 1)
         """,
         # per-host linkage profile: distinct induced edges (same CTE chain as
         # crawl_triangles), hosts split from canonical URLs, intra/inter +

@@ -682,3 +682,53 @@ def cohort_retention(sf_dir: str, n_parts: int = 16):
         ),
         batch_format="pyarrow",
     )
+
+
+def anomaly_days(sf_dir: str, z: int = 3):
+    """(event_type, day, n_events, med, mad): days whose ZERO-FILLED daily
+    event count deviates from the per-type median by more than
+    z * max(MAD, 1) — robust time-series anomaly detection (median/MAD, not
+    mean/std: entirely integer order statistics, so the result is exact,
+    partitioning-independent and SQL-replayable; a float z-score would be
+    reduction-order-dependent). Composes :func:`gapfill_days` — gap days
+    count as 0 and are exactly the outages this op exists to flag.
+
+    Median/MAD use DuckDB's quantile_disc index convention
+    (ceil(q*n)-1, the quantiles_per_group precedent). The per-type stats run
+    in a map_groups over the dimension-sized event_type key (the legitimate
+    per-key case); at a 10^6-key cardinality the stats would come from the
+    histogram-sketch quantiles instead."""
+    import math
+
+    grid = gapfill_days(sf_dir)
+    if isinstance(grid, pa.Table):  # empty corpus: gapfill returned no spine
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "day": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "med": pa.array([], pa.int64()),
+                "mad": pa.array([], pa.int64()),
+            }
+        )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_events"].to_numpy()
+        srt = np.sort(n)
+        med = int(srt[math.ceil(0.5 * len(srt)) - 1])
+        ad = np.abs(n - med)
+        sad = np.sort(ad)
+        mad = int(sad[math.ceil(0.5 * len(sad)) - 1])
+        keep = ad > z * max(mad, 1)
+        out = df[keep].copy()
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"].to_numpy(),
+                "day": out["day"].to_numpy().astype(np.int64),
+                "n_events": out["n_events"].to_numpy().astype(np.int64),
+                "med": np.full(len(out), med, dtype=np.int64),
+                "mad": np.full(len(out), mad, dtype=np.int64),
+            }
+        )
+
+    return grid.groupby("event_type").map_groups(flag, batch_format="pandas")

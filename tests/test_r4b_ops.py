@@ -328,7 +328,27 @@ def test_r4b_ops_on_empty_tables(tmp_path):
     assert len(_df(r5.global_rank_orders(d))) == 0
     assert len(_df(r5.funnel_depth(d))) == 0
     assert len(_df(r5.cohort_retention(d))) == 0
+    assert len(_df(r5.anomaly_days(d))) == 0
     prof = _df(r5.profile_orders(d))
     # profiling an empty table is still a census: one row per column, all 0
     if len(prof):
         assert (prof[["n_rows", "n_null", "n_distinct"]] == 0).all().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anomaly_days_flags_outage_and_spike(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # 15 days of 10 events/day, then day 15 has 100 (spike) and day 16 has 0
+    # (outage, present only via the gap-filled spine)
+    days = []
+    for d in range(15):
+        days += [d] * 10
+    days += [15] * 100
+    days += [17] * 10  # day 16 missing entirely -> zero-filled
+    _write_events(tmp_path, user_ids=list(range(len(days))), days=days)
+    got = _df(r5.anomaly_days(str(tmp_path)))
+    flagged = set(got["day"])
+    assert 15 in flagged   # spike
+    assert 16 in flagged   # outage (gap day)
+    assert got[got.day == 16]["n_events"].iloc[0] == 0
