@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
+        "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
         "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
         "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
@@ -1384,6 +1385,30 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # winsorize: quantile_disc band per type, clip, count clips, exact
+        # integer cents-sum of the winsorized values (engine fixed-points
+        # each value BEFORE summing — same floor(x*100+0.5))
+        "winsorize_events": """
+            WITH q AS (SELECT event_type,
+                              quantile_disc(value, 0.05) AS p_lo,
+                              quantile_disc(value, 0.95) AS p_hi
+                       FROM events GROUP BY 1),
+            c AS (SELECT e.event_type, q.p_lo, q.p_hi, e.value,
+                         CASE WHEN e.value < q.p_lo THEN q.p_lo
+                              WHEN e.value > q.p_hi THEN q.p_hi
+                              ELSE e.value END AS w
+                  FROM events e JOIN q USING (event_type))
+            SELECT event_type, any_value(p_lo) AS p_lo,
+                   any_value(p_hi) AS p_hi,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END)::BIGINT
+                       AS n_clip_lo,
+                   sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END)::BIGINT
+                       AS n_clip_hi,
+                   sum(CAST(floor(w * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS wsum_cents
+            FROM c GROUP BY 1
         """,
         # robust anomaly days: gapfill CTEs + integer median/MAD
         # (quantile_disc), flag |n - med| > 3 * max(mad, 1)

@@ -732,3 +732,114 @@ def anomaly_days(sf_dir: str, z: int = 3):
         )
 
     return grid.groupby("event_type").map_groups(flag, batch_format="pandas")
+
+
+def winsorize_events(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """(event_type, p_lo, p_hi, n, n_clip_lo, n_clip_hi, wsum_cents): per-type
+    winsorization summary — clip each event value into the type's
+    [quantile_disc(0.05), quantile_disc(0.95)] band and report the clip
+    counts plus the EXACT integer cents-sum of the winsorized values (each
+    value is fixed-pointed with floor(x*100+0.5) BEFORE summing, so the sum
+    is int64-exact and order-free — a float sum would be
+    reduction-order-dependent). The outlier-clipping normalization pass a
+    training pipeline runs before computing loss weights / mixing ratios.
+
+    Two passes: (1) per-type discrete quantiles (dimension-sized key →
+    legitimate per-key map_groups, quantiles_per_group precedent; at
+    data-sized keys the histogram sketch supplies the band instead),
+    broadcast via ray.put; (2) one vectorized clip + per-batch partials,
+    summed in a narrow final aggregate."""
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def qband(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy())
+        n = len(v)
+        lo = v[math.ceil(lo_q * n) - 1]
+        hi = v[math.ceil(hi_q * n) - 1]
+        return pd.DataFrame(
+            {"event_type": df["event_type"].iloc[:1], "p_lo": [lo], "p_hi": [hi]}
+        )
+
+    bands = (
+        ds.groupby("event_type")
+        .map_groups(qband, batch_format="pandas")
+        .to_pandas()  # dimension-sized
+    )
+    if not len(bands):
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "p_lo": pa.array([], pa.float64()),
+                "p_hi": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+                "n_clip_lo": pa.array([], pa.int64()),
+                "n_clip_hi": pa.array([], pa.int64()),
+                "wsum_cents": pa.array([], pa.int64()),
+            }
+        )
+    bands_ref = ray.put(
+        {
+            r.event_type: (r.p_lo, r.p_hi)
+            for r in bands.itertuples()
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bmap = _ray.get(bands_ref)
+        out = []
+        for t, sub in df.groupby("event_type"):
+            blo, bhi = bmap[t]
+            x = sub["value"].to_numpy()
+            clipped = np.clip(x, blo, bhi)
+            out.append(
+                (
+                    t,
+                    len(x),
+                    int((x < blo).sum()),
+                    int((x > bhi).sum()),
+                    int(np.floor(clipped * 100.0 + 0.5).astype(np.int64).sum()),
+                )
+            )
+        g = pd.DataFrame(
+            out, columns=["event_type", "n", "n_clip_lo", "n_clip_hi", "wsum_cents"]
+        )
+        for c in ("n", "n_clip_lo", "n_clip_hi", "wsum_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .sum(["n", "n_clip_lo", "n_clip_hi", "wsum_cents"])
+        .to_pandas()
+    )
+    merged = bands.merge(
+        sums.rename(
+            columns={
+                "sum(n)": "n",
+                "sum(n_clip_lo)": "n_clip_lo",
+                "sum(n_clip_hi)": "n_clip_hi",
+                "sum(wsum_cents)": "wsum_cents",
+            }
+        ),
+        on="event_type",
+    ).sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(merged["event_type"], pa.string()),
+            "p_lo": pa.array(merged["p_lo"].to_numpy(), pa.float64()),
+            "p_hi": pa.array(merged["p_hi"].to_numpy(), pa.float64()),
+            "n": pa.array(merged["n"].to_numpy().astype(np.int64)),
+            "n_clip_lo": pa.array(merged["n_clip_lo"].to_numpy().astype(np.int64)),
+            "n_clip_hi": pa.array(merged["n_clip_hi"].to_numpy().astype(np.int64)),
+            "wsum_cents": pa.array(
+                merged["wsum_cents"].to_numpy().astype(np.int64)
+            ),
+        }
+    )

@@ -329,6 +329,7 @@ def test_r4b_ops_on_empty_tables(tmp_path):
     assert len(_df(r5.funnel_depth(d))) == 0
     assert len(_df(r5.cohort_retention(d))) == 0
     assert len(_df(r5.anomaly_days(d))) == 0
+    assert len(_df(r5.winsorize_events(d))) == 0
     prof = _df(r5.profile_orders(d))
     # profiling an empty table is still a census: one row per column, all 0
     if len(prof):
@@ -352,3 +353,33 @@ def test_anomaly_days_flags_outage_and_spike(tmp_path):
     assert 15 in flagged   # spike
     assert 16 in flagged   # outage (gap day)
     assert got[got.day == 16]["n_events"].iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winsorize_events_clips_and_sums(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # 20 values 1.00..20.00 for one type: p05 = 1.0 (ceil(.05*20)-1 = idx 0),
+    # p95 = 19.0 (idx 18); one clip high (20 -> 19), none low
+    n = 20
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(
+                    np.full(n, 86_400_000_000).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(np.zeros(n, np.int64)),
+                "event_type": pa.array(["x"] * n, pa.string()),
+                "value": pa.array(np.arange(1.0, 21.0), pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = _df(r5.winsorize_events(str(tmp_path)))
+    r = got.iloc[0]
+    assert (r["p_lo"], r["p_hi"]) == (1.0, 19.0)
+    assert (r["n"], r["n_clip_lo"], r["n_clip_hi"]) == (20, 0, 1)
+    # winsorized sum = sum(1..19) + 19 = 190 + 19 = 209 -> 20900 cents
+    assert r["wsum_cents"] == 20900
