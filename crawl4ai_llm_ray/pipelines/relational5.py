@@ -180,11 +180,14 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
     sketches, so the merge is order-independent and the DuckDB oracle
     replays it bit-for-bit (same multiply-shift hashes, same min-over-rows).
 
-    The candidate set scanned against the sketch is the distinct user set
-    (per-batch distinct -> one narrow shuffle); at true heavy-hitter scale
-    you would keep per-partition top-m candidates instead — documented
-    deviation, the sketch side is the scale-bearing part. The merged sketch
-    (1024 cells) is driver-safe and broadcast once via ray.put."""
+    Candidate scan WITHOUT a distinct shuffle: a user's estimate is a pure
+    function of user_id once the sketch is merged, so per-batch
+    (unique -> estimate -> top-k) partials provably contain the global
+    top-k (if fewer than k users rank above u globally, fewer than k rank
+    above u in u's batch). The finalize sees <= k rows per batch —
+    dimension-sized, deduped and sorted in one tiny funnel. Raw keys never
+    shuffle at all. The merged sketch (1024 cells) is driver-safe and
+    broadcast once via ray.put."""
     import ray
 
     ds = _read(sf_dir, "events", columns=["user_id"])
@@ -219,25 +222,13 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
         ].to_numpy()
     counters_ref = ray.put(counters)
 
-    def batch_distinct(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"user_id": pa.array(np.unique(t["user_id"].to_numpy()))}
-        )
-
-    cand = (
-        ds.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("user_id")
-        .count()
-    )
-
-    def estimate(t: pa.Table) -> pa.Table:
+    def estimate_topk(t: pa.Table) -> pa.Table:
         c = ray.get(counters_ref)
-        u = t["user_id"].to_numpy()
+        u = np.unique(t["user_id"].to_numpy())
         est = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
         for r, seed in enumerate(CMS_SEEDS):
             est = np.minimum(est, c[r, _cms_cols(u, seed)])
         df = pd.DataFrame({"user_id": u, "est_count": est})
-        # per-batch top-k partial: only k rows per batch reach the sort
         df = df.sort_values(
             ["est_count", "user_id"], ascending=[False, True], kind="mergesort"
         ).head(k)
@@ -248,10 +239,23 @@ def heavy_hitters_cms(sf_dir: str, k: int = 20):
             }
         )
 
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], dtype=np.int64),
+                    "est_count": np.array([], dtype=np.int64),
+                }
+            )
+        df = df.drop_duplicates("user_id")  # same user from several batches
+        return df.sort_values(
+            ["est_count", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
     return (
-        cand.map_batches(estimate, batch_format="pyarrow")
-        .sort(["est_count", "user_id"], descending=[True, False])
-        .limit(k)
+        ds.map_batches(estimate_topk, batch_format="pyarrow")
+        .repartition(1)  # <= k rows per input batch — dimension-sized funnel
+        .map_batches(finalize, batch_format="pandas", batch_size=None)
     )
 
 
