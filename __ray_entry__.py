@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
+        "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
         "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
         "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
@@ -1385,6 +1386,17 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # clustered range lookup: plain fixed-point range filter (the engine
+        # serves it from a clustered layout with manifest pruning; pruning
+        # is asserted in pytest, values here)
+        "clustered_lookup": """
+            SELECT o_orderkey, cents FROM (
+                SELECT o_orderkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders)
+            WHERE cents BETWEEN 1000000 AND 2000000
         """,
         # winsorize: quantile_disc band per type, clip, count clips, exact
         # integer cents-sum of the winsorized values (engine fixed-points

@@ -847,3 +847,44 @@ def winsorize_events(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
             ),
         }
     )
+
+
+def clustered_lookup(
+    sf_dir: str, lo_cents: int = 10_000_00, hi_cents: int = 20_000_00
+):
+    """(o_orderkey, cents): orders whose fixed-point price falls in
+    [lo_cents, hi_cents], served from a range-CLUSTERED parquet layout with
+    manifest pruning (sources/io.py write_clustered/read_clustered_range) —
+    the storage-layout capability: a clustered sort key + per-file min/max
+    manifest turns a range lookup into O(matching files) IO instead of a
+    full scan. The pytest asserts files were actually pruned; correctness is
+    the oracle's plain range filter."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.io import read_clustered_range, write_clustered
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "cents": pa.array(cents)}
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="clustered_orders_")
+    if not write_clustered(enc, out, "cents"):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    got, _, _ = read_clustered_range(out, lo_cents, hi_cents)
+    return got

@@ -225,3 +225,115 @@ def write_partitioned(ds, path: str, partition_col: str, format: str = "parquet"
     return ds.groupby(partition_col).map_groups(
         write_group, batch_format="pandas"
     ).materialize()
+
+
+def write_clustered(
+    ds,
+    path: str,
+    key_col: str,
+    n_ranges: int = 16,
+    sample_stride: int = 1024,
+):
+    """Range-CLUSTERED write: TeraSort-style sampled boundaries over
+    ``key_col`` (int64), one key-sorted parquet file per range plus a
+    ``MANIFEST.json`` recording each file's (min, max, rows). The layout
+    that makes point/range reads prune to O(matching files) instead of a
+    full scan — the storage-side complement of the engine's
+    global_rank_orders machinery (same sampler; sample quality affects only
+    file-size balance, never correctness).
+
+    Returns the manifest as a list of dicts (driver-safe: one entry per
+    range file)."""
+    import json
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def sample(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy()
+        return pa.table({key_col: pa.array(k[::sample_stride])})
+
+    sampled = np.sort(
+        ds.map_batches(sample, batch_format="pyarrow").to_pandas()[
+            key_col
+        ].to_numpy()
+    )
+    if len(sampled) >= n_ranges:
+        q = (np.arange(1, n_ranges) * len(sampled)) // n_ranges
+        bounds = np.unique(sampled[q])
+    elif len(sampled) > 1:
+        bounds = np.unique(sampled)[:-1]
+    else:
+        bounds = np.array([], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        rp = np.searchsorted(bounds, t[key_col].to_numpy(), side="right")
+        return t.append_column("_rp", pa.array(rp.astype(np.int64)))
+
+    def write_range(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        rp = int(df["_rp"].iloc[0])
+        df = df.drop(columns=["_rp"]).sort_values(key_col, kind="mergesort")
+        fname = os.path.join(path, f"range-{rp:05d}.parquet")
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        pq_mod.write_table(tbl, fname)
+        k = df[key_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "file": [fname],
+                "kmin": [int(k[0])],
+                "kmax": [int(k[-1])],
+                "rows": [len(df)],
+            }
+        )
+
+    manifest = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("_rp")
+        .map_groups(write_range, batch_format="pandas")
+        .to_pandas()  # one row per range file — driver-safe
+        .sort_values("file")
+    )
+    entries = manifest.to_dict("records")
+    with open(os.path.join(path, "MANIFEST.json"), "w") as f:
+        json.dump({"key": key_col, "files": entries}, f)
+    return entries
+
+
+def read_clustered_range(path: str, lo: int, hi: int, columns=None):
+    """Range read over a :func:`write_clustered` layout: consult
+    MANIFEST.json, read ONLY the files whose [kmin, kmax] overlaps
+    [lo, hi], apply the residual filter vectorized. Returns
+    ``(dataset, n_files_read, n_files_total)`` so callers (and tests) can
+    assert pruning actually happened."""
+    import json
+
+    import ray.data as rd
+
+    with open(os.path.join(path, "MANIFEST.json")) as f:
+        man = json.load(f)
+    key_col = man["key"]
+    files = [
+        e["file"]
+        for e in man["files"]
+        if not (e["kmax"] < lo or e["kmin"] > hi)
+    ]
+    n_total = len(man["files"])
+    if not files:
+        empty = rd.from_arrow(
+            pa.table({key_col: pa.array([], pa.int64())})
+        )
+        return empty, 0, n_total
+    ds = rd.read_parquet(files, columns=columns)
+
+    def residual(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy()
+        keep = (k >= lo) & (k <= hi)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(residual, batch_format="pyarrow"), len(files), n_total

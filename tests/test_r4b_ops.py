@@ -383,3 +383,32 @@ def test_winsorize_events_clips_and_sums(tmp_path):
     assert (r["n"], r["n_clip_lo"], r["n_clip_hi"]) == (20, 0, 1)
     # winsorized sum = sum(1..19) + 19 = 190 + 19 = 209 -> 20900 cents
     assert r["wsum_cents"] == 20900
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_clustered_write_prunes_files(tmp_path):
+    import ray
+
+    from crawl4ai_llm_ray.sources.io import (
+        read_clustered_range,
+        write_clustered,
+    )
+
+    n = 10_000
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": np.arange(n, dtype=np.int64), "v": np.arange(n) * 2}
+        ).rename(columns={"k": "key"})
+    )
+    out = str(tmp_path / "clustered")
+    manifest = write_clustered(ds, out, "key", n_ranges=8, sample_stride=16)
+    assert len(manifest) >= 4
+    assert sum(e["rows"] for e in manifest) == n
+    # a narrow band must read strictly fewer files than the total
+    got, n_read, n_total = read_clustered_range(out, 100, 200)
+    df = got.to_pandas().sort_values("key")
+    assert df["key"].tolist() == list(range(100, 201))
+    assert n_read < n_total
+    # out-of-domain band reads nothing
+    empty, n_read0, _ = read_clustered_range(out, 10**9, 2 * 10**9)
+    assert n_read0 == 0 and empty.count() == 0
