@@ -76,20 +76,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
         "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill (new in r4)
         "unigram_logprob": text.unigram_logprob,              # CCNet-shape LM quality gate, exact fixed-point (new in r4; token_count_bpe, whose tokenize machinery token_count shows in the tail, moved out)
-        "topk_per_group": relational3.topk_per_group,
         "corr_per_group": relational3.corr_per_group,
         "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
         "approx_quantiles_hist": relational4.approx_quantiles_hist,  # mergeable-histogram sketch (rotated in r4)
         # --- text analysis ---
         "quality_score": text.quality_score,
         "corpus_curation": text.corpus_curation,               # composed curation pass
-        "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (new in r4)
         "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
         "bm25_topk": text.bm25_topk,                           # ranked keyword retrieval, two-pass corpus stats (new in r4)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; both sampling twins — random_sample and deterministic_sample — sit in the tail since r4)
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # splitmix-in-SQL oracle
         "dedup_clusters": dedup.dedup_clusters,                # LSH graph + recursive CTE
         "simhash": dedup.simhash,                              # per-bit-majority SQL oracle
@@ -117,11 +114,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
         "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (new in r4)
         "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
+        "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
+        "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
-        "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
-        "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
+        "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
+        "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (n-gram kernel family of decontaminate/token ops; demoted late-r4 rotation)
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,      # exact-Jaccard baseline (minhash_lsh_pairs verifies the same statistic; demoted late-r4 rotation)
         "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
         "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
         "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
