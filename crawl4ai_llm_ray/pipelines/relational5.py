@@ -887,4 +887,10 @@ def clustered_lookup(
             )
         )
     got, _, _ = read_clustered_range(out, lo_cents, hi_cents)
+    # materialize (result is the small filtered band) so the scratch layout
+    # can be deleted instead of leaking one temp dir per invocation
+    got = got.materialize()
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     return got
