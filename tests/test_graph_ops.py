@@ -95,3 +95,42 @@ def test_crawl_host_linkage_consistency():
     # (intra+inter) must be >= that and <= 2x
     directed = int((df["n_intra"] + df["n_inter"]).sum())
     assert tri["n_edges"] <= directed <= 2 * tri["n_edges"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_random_graphs_vs_brute_force():
+    """Random small graphs: the distributed oriented-wedge census must match
+    a brute-force O(n^3) count (seeded, 6 graphs — one Ray pipeline per
+    graph keeps this affordable while still exploring structure)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n = int(rng.integers(4, 12))
+        p = rng.uniform(0.2, 0.7)
+        adj = np.triu((rng.random((n, n)) < p), k=1)
+        names = [f"n{i}" for i in range(n)]
+        edges = [
+            (names[i], names[j])
+            for i in range(n)
+            for j in range(n)
+            if adj[i, j]
+        ]
+        if not edges:
+            continue
+        # brute force over the undirected adjacency
+        und = adj | adj.T
+        brute = int(
+            sum(
+                und[i, j] and und[j, k] and und[i, k]
+                for i in range(n)
+                for j in range(i + 1, n)
+                for k in range(j + 1, n)
+            )
+        )
+        deg = und.sum(axis=1).astype(int)
+        wedges = int((deg * (deg - 1) // 2).sum())
+        r = _tri(edges)
+        assert r["n_triangles"] == brute, (trial, edges)
+        assert r["n_wedges"] == wedges
+        assert r["n_edges"] == len(edges)

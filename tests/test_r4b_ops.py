@@ -412,3 +412,42 @@ def test_clustered_write_prunes_files(tmp_path):
     # out-of-domain band reads nothing
     empty, n_read0, _ = read_clustered_range(out, 10**9, 2 * 10**9)
     assert n_read0 == 0 and empty.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_random_prices_match_argsort(tmp_path):
+    """Random price tables: distributed TeraSort ranking must equal the
+    serial lexsort rank for every row (seeded, 3 draws)."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        n = int(rng.integers(10, 400))
+        prices = np.round(rng.uniform(1, 50, size=n) , 2)
+        keys = np.arange(1, n + 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(keys, pa.int64()),
+                    "o_custkey": pa.array(np.zeros(n, np.int64)),
+                    "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                    "o_totalprice": pa.array(prices, pa.float64()),
+                    "o_orderdate": pa.array(
+                        np.zeros(n, dtype="int64").astype("datetime64[us]")
+                    ),
+                    "o_orderpriority": pa.array(["A"] * n, pa.string()),
+                }
+            ),
+            f"{tmp_path}/orders.parquet",
+        )
+        got = (
+            _df(r5.global_rank_orders(str(tmp_path), n_ranges=5,
+                                      sample_stride=7))
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        cents = np.floor(prices * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((keys, cents))
+        expect = np.empty(n, dtype=np.int64)
+        expect[order] = np.arange(1, n + 1)
+        assert got["rnk"].to_numpy().tolist() == expect.tolist(), trial
