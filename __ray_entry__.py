@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
         "extract_products": extract.extract_products,          # selector-spec extraction (reference README:11-12)
         "crawl_pagerank": crawl_queries.crawl_pagerank,       # integer fixed-point PageRank over the link graph (new in r4)
+        "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # refresh-crawl scheduling: exact int blend of pagerank + in-degree (new late-r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -69,7 +70,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.anti_join,                    # J3
         "upsert_latest": relational.upsert_last_writer,       # M6
         "key_derivation": relational.key_derivation,          # M1
-        "broadcast_join_agg": relational.broadcast_join_agg,  # star join
         "window_tumbling": relational.window_tumbling,        # §2.9
         "asof_join": relational4.asof_join,                   # §2.9 as-of (novel shape — in-window; count_group, its A1 near-dup of agg_q1, moved to the tail)
         "join_3way_topk": relational2.join_3way_topk,
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
+        "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
         "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
         "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (n-gram kernel family of decontaminate/token ops; demoted late-r4 rotation)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,      # exact-Jaccard baseline (minhash_lsh_pairs verifies the same statistic; demoted late-r4 rotation)
@@ -1290,6 +1291,43 @@ def oracle_sql() -> dict[str, str]:
             r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes){pr_iters}
             SELECT node AS url, pr::BIGINT AS pr FROM r5
             ORDER BY pr DESC, url LIMIT 20
+        """,
+        # refresh plan: the crawl_pagerank chain + induced in-degree, exact
+        # integer score blend, deterministic top-k
+        "crawl_refresh_plan": f"""
+            WITH docs AS (SELECT url_canon, spans FROM {crawl_docs}),
+            nodes AS (SELECT DISTINCT url_canon AS node FROM docs),
+            l AS (SELECT url_canon AS src, s.media_ref AS ref
+                  FROM (SELECT url_canon, unnest(spans) AS s FROM docs)
+                  WHERE s.kind = 'link'),
+            c1 AS (SELECT src, regexp_replace(ref, '#.*$', '') AS u FROM l),
+            c2 AS (SELECT src,
+                          lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                          regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                          regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+                   FROM c1),
+            c3 AS (SELECT src, regexp_replace(rawhost, ':80$', '') AS host,
+                          CASE WHEN rawpath = '' THEN '/'
+                               WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                               THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                          CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                               ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                          END AS q
+                   FROM c2),
+            t AS (SELECT src, 'http://' || host || path || q AS dst FROM c3),
+            edges AS (SELECT DISTINCT t.src, t.dst
+                      FROM t JOIN nodes ON t.dst = nodes.node
+                      WHERE t.src <> t.dst),
+            deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+            e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+            r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes){pr_iters},
+            ind AS (SELECT dst AS node, count(*)::BIGINT AS indeg
+                    FROM edges GROUP BY 1)
+            SELECT r5.node AS url, r5.pr::BIGINT AS pr,
+                   COALESCE(ind.indeg, 0)::BIGINT AS indeg,
+                   (r5.pr + 100000 * COALESCE(ind.indeg, 0))::BIGINT AS score
+            FROM r5 LEFT JOIN ind USING (node)
+            ORDER BY score DESC, url LIMIT 20
         """,
         # triangle census: same induced-link-graph CTE chain as crawl_pagerank,
         # then the oriented-wedge triangle count — orient each undirected edge

@@ -429,6 +429,22 @@ def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
     and the degree transform are partition-local — no join); the dst∈nodes
     restriction is a partitioned hash semi-join; each PageRank round is a
     narrow (src, dst, outdeg)⋈(node, pr) join plus a (node, inflow) sum."""
+    ranks, _ = _pagerank_ranks(iters=iters)
+
+    def out_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["node"], "pr": t["pr"]})
+
+    return (
+        ranks.map_batches(out_cols, batch_format="pyarrow")
+        .sort(["pr", "url"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _pagerank_ranks(iters: int = 5):
+    """Full (node, pr) rank table + the distinct induced edge Dataset —
+    shared by crawl_pagerank (top-k view) and crawl_refresh_plan
+    (composition)."""
     from ..functions.hashing import fnv1a64
     from .graph import pagerank
 
@@ -449,18 +465,9 @@ def crawl_pagerank(sf_dir: str = "", iters: int = 5, k: int = 20):
         fetched.map_batches(part, batch_format="pyarrow")
         .groupby("ep")
         .map_groups(dedup_deg, batch_format="pandas")
+        .materialize()
     )
-
-    ranks = pagerank(edges, nodes, iters=iters)
-
-    def out_cols(t: pa.Table) -> pa.Table:
-        return pa.table({"url": t["node"], "pr": t["pr"]})
-
-    return (
-        ranks.map_batches(out_cols, batch_format="pyarrow")
-        .sort(["pr", "url"], descending=[True, False])
-        .limit(k)
-    )
+    return pagerank(edges, nodes, iters=iters), edges
 
 
 def crawl_span_signature(sf_dir: str = ""):
@@ -692,4 +699,84 @@ def crawl_host_linkage(sf_dir: str = ""):
         pairs.map_batches(part, batch_format="pyarrow")
         .groupby("hp")
         .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def crawl_refresh_plan(sf_dir: str = "", k: int = 20, indeg_weight: int = 100_000):
+    """(url, pr, indeg, score): refresh-crawl scheduling — re-fetch priority
+    per crawled page as an EXACT integer blend of its PageRank mass and its
+    induced in-degree (score = pr + indeg_weight * indeg), top-k by
+    (score DESC, url ASC). The composition a crawl operator actually
+    schedules from: authority (pr) finds hub pages worth keeping fresh,
+    raw in-degree finds newly-popular targets before rank converges.
+
+    Scale shape: full rank table + per-target in-degree (one narrow count)
+    are combined WITHOUT a join — union-tagged rows partitioned by node
+    hash, one in-partition merge (the triangle-census idiom; Dataset.join
+    crashes on zero-row partitions and spawns per-partition aggregator
+    actors). Per-partition top-k partials contain the global top-k, so the
+    final sort sees P*k rows."""
+    from ..functions.hashing import fnv1a64
+
+    ranks, edges = _pagerank_ranks()
+
+    def indeg_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"node": t["dst"].to_numpy(zero_copy_only=False)}
+        ).groupby("node", as_index=False).size()
+        return pa.table(
+            {
+                "node": pa.array(df["node"], pa.string()),
+                "val": pa.array(df["size"].to_numpy().astype(np.int64)),
+                "tag": pa.array(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "val": t["pr"],
+                "tag": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    tagged = (
+        ranks.map_batches(rank_rows, batch_format="pyarrow")
+        .union(edges.map_batches(indeg_partial, batch_format="pyarrow"))
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        npart = (fnv1a64(t["node"]) % np.uint64(8)).astype(np.int64)
+        return t.append_column("np", pa.array(npart))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["tag"] == 0][["node", "val"]].rename(columns={"val": "pr"})
+        ind = (
+            df[df["tag"] == 1]
+            .groupby("node", as_index=False)["val"]
+            .sum()
+            .rename(columns={"val": "indeg"})
+        )
+        m = pr.merge(ind, on="node", how="left").fillna({"indeg": 0})
+        m["indeg"] = m["indeg"].astype(np.int64)
+        m["score"] = m["pr"].to_numpy() + indeg_weight * m["indeg"].to_numpy()
+        m = m.sort_values(
+            ["score", "node"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "url": m["node"],
+                "pr": m["pr"].to_numpy().astype(np.int64),
+                "indeg": m["indeg"].to_numpy(),
+                "score": m["score"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        tagged.map_batches(keyed, batch_format="pyarrow")
+        .groupby("np")
+        .map_groups(combine, batch_format="pandas")
+        .sort(["score", "url"], descending=[True, False])
+        .limit(k)
     )
