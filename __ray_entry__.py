@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
         "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
         "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
+        "activity_islands": relational5.activity_islands,      # interval-union gaps-and-islands accounting (new late-r4; enters at position 51, tail)
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
@@ -1424,6 +1425,29 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # gaps-and-islands: lag + running island id per user, island span =
+        # last - first + gap window, corpus totals
+        "activity_islands": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            o AS (SELECT user_id, t,
+                         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+                  FROM e),
+            m AS (SELECT user_id, t,
+                         CASE WHEN pt IS NULL OR t - pt > 1800000000
+                              THEN 1 ELSE 0 END AS ni
+                  FROM o),
+            g AS (SELECT user_id, t,
+                         sum(ni) OVER (PARTITION BY user_id ORDER BY t
+                                       ROWS UNBOUNDED PRECEDING) AS gid
+                  FROM m),
+            isl AS (SELECT user_id, gid,
+                           max(t) - min(t) + 1800000000 AS span
+                    FROM g GROUP BY 1, 2)
+            SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*)::BIGINT AS n_islands,
+                   COALESCE(sum(span), 0)::BIGINT AS active_us
+            FROM isl
         """,
         # clustered range lookup: plain fixed-point range filter (the engine
         # serves it from a clustered layout with manifest pruning; pruning

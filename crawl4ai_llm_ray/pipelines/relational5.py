@@ -894,3 +894,83 @@ def clustered_lookup(
 
     shutil.rmtree(out, ignore_errors=True)
     return got
+
+
+def activity_islands(sf_dir: str, gap_us: int = 1_800_000_000, n_parts: int = 16):
+    """One row (n_users, n_islands, active_us): interval-union activity
+    accounting — each event opens a ``gap_us`` activity window per user;
+    overlapping/adjacent windows merge into ISLANDS (maximal runs with
+    inter-event gaps <= gap_us), and the corpus totals are user count,
+    island count, and summed island span (last - first + gap_us per
+    island). The gaps-and-islands shape (interval merge) that sessionize's
+    per-session listing does not reduce to — here the merge is a pure
+    segmented numpy scan and only THREE ints leave each partition.
+
+    Scale shape: user-hash partitions make each user's timeline
+    partition-complete; one sort + vectorized boundary detection per
+    partition; finalize funnels n_parts*3 ints."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        up = (t["user_id"].to_numpy().astype(np.uint64) % np.uint64(n_parts))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "t": t["ts"].cast(pa.int64()),
+                "up": pa.array(up.astype(np.int64)),
+            }
+        )
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "n_users": np.array([0], np.int64),
+                    "n_islands": np.array([0], np.int64),
+                    "active_us": np.array([0], np.int64),
+                }
+            )
+        new_island = np.empty(n, dtype=bool)
+        new_island[0] = True
+        new_island[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_us)
+        starts = np.nonzero(new_island)[0]
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        span = int((t[ends] - t[starts] + gap_us).sum())
+        return pd.DataFrame(
+            {
+                "n_users": np.array([len(np.unique(u))], np.int64),
+                "n_islands": np.array([len(starts)], np.int64),
+                "active_us": np.array([span], np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("up")
+        .map_groups(islands, batch_format="pandas")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "n_users": np.array([0], np.int64),
+                    "n_islands": np.array([0], np.int64),
+                    "active_us": np.array([0], np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "n_users": np.array([df["n_users"].sum()], np.int64),
+                "n_islands": np.array([df["n_islands"].sum()], np.int64),
+                "active_us": np.array([df["active_us"].sum()], np.int64),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )

@@ -451,3 +451,35 @@ def test_global_rank_random_prices_match_argsort(tmp_path):
         expect = np.empty(n, dtype=np.int64)
         expect[order] = np.arange(1, n + 1)
         assert got["rnk"].to_numpy().tolist() == expect.tolist(), trial
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_activity_islands_merges_overlaps(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    W = 1_800_000_000  # 30 min
+    # u1: events at 0s and 10min (one island, span 10min+W);
+    #     plus one at +2h (second island, span W)
+    # u2: single event (one island, span W)
+    ts_us = [0, 600_000_000, 7_200_000_000, 0]
+    uids = [1, 1, 1, 2]
+    n = len(uids)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(np.array(ts_us, dtype="int64")).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array(np.asarray(uids, np.int64)),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array(np.zeros(n), pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = _df(r5.activity_islands(str(tmp_path))).iloc[0]
+    assert got["n_users"] == 2
+    assert got["n_islands"] == 3
+    assert got["active_us"] == (600_000_000 + W) + W + W
