@@ -80,10 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
         "approx_quantiles_hist": relational4.approx_quantiles_hist,  # mergeable-histogram sketch (rotated in r4)
         # --- text analysis ---
-        "quality_score": text.quality_score,
         "corpus_curation": text.corpus_curation,               # composed curation pass
         "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
         "bm25_topk": text.bm25_topk,                           # ranked keyword retrieval, two-pass corpus stats (new in r4)
+        "bigram_pmi": text.bigram_pmi,                         # PMI collocation extraction, quantized-ln exact, join-free count attach (new late-r4)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; both sampling twins — random_sample and deterministic_sample — sit in the tail since r4)
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
+        "quality_score": text.quality_score,                   # (corpus_curation composes quality+lang; demoted late-r4 rotation)
         "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
         "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
         "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (n-gram kernel family of decontaminate/token ops; demoted late-r4 rotation)
@@ -1548,6 +1549,27 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT CASE WHEN hs <> hd THEN hd END)::BIGINT
                        AS n_hosts_out
             FROM hp GROUP BY 1
+        """,
+        # PMI collocations: unigram/bigram corpus counts, quantized ln on
+        # the same 1e-4 half-up grid as the engine, min-count filter, top-k
+        "bigram_pmi": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            u AS (SELECT unnest(ws) AS wd FROM w),
+            uc AS (SELECT wd, count(*)::BIGINT AS c FROM u GROUP BY 1),
+            n AS (SELECT sum(c)::BIGINT AS n FROM uc),
+            i AS (SELECT ws, unnest(range(1, len(ws))) AS kk FROM w),
+            b AS (SELECT ws[CAST(kk AS INT)] AS w1,
+                         ws[CAST(kk + 1 AS INT)] AS w2 FROM i),
+            bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+            s AS (SELECT bc.w1, bc.w2, bc.c AS n_pairs,
+                         CAST(floor(ln(CAST(bc.c AS DOUBLE) * (SELECT n FROM n)
+                                       / (u1.c * u2.c)) * 10000 + 0.5)
+                              AS BIGINT) AS pmi_q
+                  FROM bc JOIN uc u1 ON u1.wd = bc.w1
+                          JOIN uc u2 ON u2.wd = bc.w2
+                  WHERE bc.c >= 5)
+            SELECT w1, w2, n_pairs, pmi_q FROM s
+            ORDER BY pmi_q DESC, w1, w2 LIMIT 30
         """,
         # cohort retention: first-event week per user, distinct active
         # (user, week-offset) pairs, counted per cohort cell

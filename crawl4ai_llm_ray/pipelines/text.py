@@ -823,3 +823,177 @@ def unigram_logprob(sf_dir: str, num_partitions: int = 32):
         .groupby("dp")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+def bigram_pmi(sf_dir: str, k: int = 30, min_count: int = 5, num_partitions: int = 16):
+    """(w1, w2, n_pairs, pmi_q): top-k collocations by pointwise mutual
+    information over adjacent word pairs — PMI = ln(c_xy*N / (c_x*c_y)),
+    quantized to an int64 1e-4 grid (floor(x*1e4+0.5), negatives included)
+    so ranking and values are exact and order-free (the unigram_logprob
+    quantized-ln precedent). Collocation extraction: the association
+    statistic between tf-idf (salience) and embedding similarity.
+
+    Scale shape: corpus unigram/bigram counts are per-batch partials + one
+    narrow sum each; c_x / c_y attach WITHOUT a join or a vocab broadcast —
+    two union-tagged passes partitioned by the word being attached (all
+    rows of a word co-locate with its unigram count). A bigram lives wholly
+    in one partition of the second pass, so per-partition top-k partials
+    contain the global top-k."""
+    from ..functions.hashing import fnv1a64
+
+    ds = _read_docs(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        _, words = _word_ngrams_batch(t["text"], 1)
+        _, grams = _word_ngrams_batch(t["text"], 2)
+        us = pd.Series(words).groupby(words).size()
+        bs = pd.Series(grams).groupby(grams).size()
+        w1b = np.array([g.partition(" ")[0] for g in bs.index], dtype=object)
+        w2b = np.array([g.partition(" ")[2] for g in bs.index], dtype=object)
+        return pa.table(
+            {
+                "w1": pa.array(
+                    np.concatenate([us.index.to_numpy(dtype=object), w1b]),
+                    pa.string(),
+                ),
+                "w2": pa.array(
+                    np.concatenate(
+                        [np.full(len(us), "", dtype=object), w2b]
+                    ),
+                    pa.string(),
+                ),
+                "c": pa.array(
+                    np.concatenate(
+                        [us.to_numpy(), bs.to_numpy()]
+                    ).astype(np.int64)
+                ),
+                "tag": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(us), dtype=np.int64),
+                            np.ones(len(bs), dtype=np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").materialize()
+    n_total = 0
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        import pyarrow.compute as _pc
+
+        m = _pc.equal(b["tag"], 0)
+        s = _pc.sum(_pc.filter(b["c"], m)).as_py()
+        n_total += int(s or 0)
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "pmi_q": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def key1(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "kp",
+            pa.array((fnv1a64(t["w1"]) % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def attach_cx(df: pd.DataFrame) -> pd.DataFrame:
+        uni = (
+            df[df["tag"] == 0].groupby("w1", as_index=False)["c"].sum()
+            .rename(columns={"c": "cx"})
+        )
+        bi = (
+            df[df["tag"] == 1].groupby(["w1", "w2"], as_index=False)["c"].sum()
+        )
+        m = bi.merge(uni, on="w1")
+        return m[["w1", "w2", "c", "cx"]]
+
+    # pass B rows: bigrams re-keyed by w2, unigram counts re-emitted keyed
+    # by their word (as w2) — schema (w1, w2, c, cx, tag)
+    def rekey2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tag"] = np.ones(len(df), dtype=np.int64)
+        return df
+
+    def uni2(t: pa.Table) -> pa.Table:
+        m = pa.compute.equal(t["tag"], 0)
+        w = pa.compute.filter(t["w1"], m)
+        c = pa.compute.filter(t["c"], m)
+        return pa.table(
+            {
+                "w1": pa.array(np.full(len(w), "", dtype=object), pa.string()),
+                "w2": w,
+                "c": c,
+                "cx": pa.array(np.zeros(len(w), dtype=np.int64)),
+                "tag": pa.array(np.zeros(len(w), dtype=np.int64)),
+            }
+        )
+
+    passA = (
+        rows.map_batches(key1, batch_format="pyarrow")
+        .groupby("kp")
+        .map_groups(attach_cx, batch_format="pandas")
+        .map_batches(rekey2, batch_format="pandas")
+    )
+
+    def key2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kp"] = (
+            fnv1a64(pa.array(df["w2"].astype(str))) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return df
+
+    tagged = passA.union(
+        rows.map_batches(uni2, batch_format="pyarrow").map_batches(
+            lambda df: df, batch_format="pandas"
+        )
+    ).map_batches(key2, batch_format="pandas")
+
+    def attach_cy_score(df: pd.DataFrame) -> pd.DataFrame:
+        uni = (
+            df[df["tag"] == 0].groupby("w2", as_index=False)["c"].sum()
+            .rename(columns={"c": "cy"})
+        )
+        bi = df[df["tag"] == 1].groupby(
+            ["w1", "w2"], as_index=False
+        ).agg(c=("c", "sum"), cx=("cx", "first"))
+        bi = bi[bi["c"] >= min_count]
+        if not len(bi):
+            return pd.DataFrame(
+                {
+                    "w1": np.array([], dtype=object),
+                    "w2": np.array([], dtype=object),
+                    "n_pairs": np.array([], dtype=np.int64),
+                    "pmi_q": np.array([], dtype=np.int64),
+                }
+            )
+        m = bi.merge(uni, on="w2")
+        pmi = np.log(
+            m["c"].to_numpy(np.float64)
+            * float(n_total)
+            / (m["cx"].to_numpy(np.float64) * m["cy"].to_numpy(np.float64))
+        )
+        m["pmi_q"] = np.floor(pmi * 10000.0 + 0.5).astype(np.int64)
+        m = m.rename(columns={"c": "n_pairs"})
+        m = m.sort_values(
+            ["pmi_q", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        m["n_pairs"] = m["n_pairs"].astype(np.int64)
+        return m[["w1", "w2", "n_pairs", "pmi_q"]]
+
+    return (
+        tagged.groupby("kp")
+        .map_groups(attach_cy_score, batch_format="pandas")
+        .sort(["pmi_q", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

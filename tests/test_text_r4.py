@@ -186,3 +186,53 @@ def test_full_outer_activity_covers_all_three_cases():
     assert (both_or_left["n_events"] > 0).any()    # matched rows
     assert (right_only["n_events"] > 0).all()
     assert out["key"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_pmi_ranks_collocations(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import text as tx
+
+    # "alpha beta" always adjacent (strong collocation); "gamma delta" only
+    # sometimes; all words also appear independently
+    docs = (
+        ["alpha beta gamma"] * 6
+        + ["gamma delta epsilon"] * 5
+        + ["delta alpha epsilon beta"] * 5
+        + ["beta epsilon gamma alpha"] * 5
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = tx.bigram_pmi(str(tmp_path), k=10, min_count=5).to_pandas()
+    assert len(got) > 0
+    pairs = list(zip(got["w1"], got["w2"]))
+    assert ("alpha", "beta") in pairs
+    # exact PMI check for the top pair against a numpy replay
+    import numpy as np
+
+    words = [w for d in docs for w in d.split(" ")]
+    N = len(words)
+    from collections import Counter
+
+    uc = Counter(words)
+    bc = Counter(zip(words, words[1:]))  # NB: crosses doc borders in replay
+    # restrict replay to within-doc bigrams:
+    bc = Counter()
+    for d in docs:
+        ws = d.split(" ")
+        bc.update(zip(ws, ws[1:]))
+    for r in got.itertuples():
+        expect = np.floor(
+            np.log(bc[(r.w1, r.w2)] * N / (uc[r.w1] * uc[r.w2])) * 10000 + 0.5
+        )
+        assert r.pmi_q == int(expect)
+    assert got["pmi_q"].is_monotonic_decreasing
