@@ -50,7 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # new distinct-machinery ops (crawl_triangles, cooccur_parts,
     # gapfill_days, heavy_hitters_cms, mode_per_group, global_rank_orders,
     # funnel_depth) in and seven sibling-covered entries out (each tagged
-    # "demoted r4 rotation" below).
+    # "demoted r4 rotation" below); the final late-r4 pass promoted
+    # crawl_refresh_plan / bigram_pmi / profile_orders / anomaly_days /
+    # clustered_lookup and demoted five more sibling-covered entries, so
+    # every one of the round's sixteen new operator families appears in the
+    # driver record except the four compositions/siblings explicitly tagged
+    # in the tail.
     return {
         # --- crawl pipeline artifacts (exact parity in pytest; every one
         #     ALSO DuckDB-oracle-checked — doc_stats/span_explode via unnest,
