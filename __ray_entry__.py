@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
         "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
         "activity_islands": relational5.activity_islands,      # interval-union gaps-and-islands accounting (new late-r4; enters at position 51, tail)
+        "crawl_compacted_docs": crawl_queries.crawl_compacted_docs,  # small-file compaction identity check over the crawl layout (new late-r4)
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
@@ -1431,6 +1432,11 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT user_id::BIGINT AS user_id, est_count FROM est
             ORDER BY est_count DESC, user_id LIMIT 20
+        """,
+        # compaction identity: the oracle reads the ORIGINAL wave layout —
+        # equality proves the compacted copy preserved every row
+        "crawl_compacted_docs": f"""
+            SELECT doc_id, url_canon, wave FROM {crawl_docs}
         """,
         # gaps-and-islands: lag + running island id per user, island span =
         # last - first + gap window, corpus totals

@@ -780,3 +780,32 @@ def crawl_refresh_plan(sf_dir: str = "", k: int = 20, indeg_weight: int = 100_00
         .sort(["score", "url"], descending=[True, False])
         .limit(k)
     )
+
+
+def crawl_compacted_docs(sf_dir: str = "", target_rows: int = 4096):
+    """(doc_id, url_canon, wave) read back from a COMPACTED copy of the
+    crawl's wave-partitioned doc layout — the storage-lifecycle op a
+    long-running crawl needs (one file per wave x shard accumulates
+    thousands of small files; compaction bin-packs them into
+    ~``target_rows`` files from parquet footers only, resumable per bin,
+    sources/io.py compact_layout). The oracle reads the ORIGINAL layout:
+    equality proves compaction preserved every row exactly."""
+    import shutil
+    import tempfile
+
+    from ..sources.io import compact_layout
+
+    out = ensure_crawl()
+    dst = tempfile.mkdtemp(prefix="compacted_docs_")
+    n_in, n_out, _ = compact_layout(
+        os.path.join(out, "docs"), dst, target_rows=target_rows
+    )
+    assert n_out <= n_in
+    import ray.data as rd
+
+    got = (
+        rd.read_parquet(dst, columns=["doc_id", "url_canon", "wave"])
+        .materialize()
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    return got

@@ -337,3 +337,74 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(residual, batch_format="pyarrow"), len(files), n_total
+
+
+def compact_layout(
+    src_dir: str,
+    dst_dir: str,
+    target_rows: int = 65536,
+    glob: str = "*/*.parquet",
+):
+    """Small-file COMPACTION for a partitioned layout (the crawl sink writes
+    one file per wave x shard — thousands of small files after a long
+    crawl): coalesce input files into output files of ~``target_rows`` rows,
+    preserving row content exactly (bin-packing by the files' own row
+    counts, from parquet FOOTERS only — no data read at planning time).
+    Each output bin is written by its own task (read N small files → write
+    one), committed atomically via temp + rename; a bin whose output
+    already exists is SKIPPED, so a failed compaction resumes where it
+    stopped. Returns (n_input_files, n_output_files, n_rows).
+
+    Planning is a driver-side walk of file footers (path + row count per
+    file — manifest-sized, not data-sized); the copy work itself is fully
+    parallel map_batches over the bin list."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq_mod
+
+    files = sorted(globmod.glob(os.path.join(src_dir, glob)))
+    counts = [pq_mod.ParquetFile(f).metadata.num_rows for f in files]
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for f, c in zip(files, counts):
+        if cur and cur_rows + c > target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(f)
+        cur_rows += c
+    if cur:
+        bins.append(cur)
+    os.makedirs(dst_dir, exist_ok=True)
+
+    import ray.data as rd
+
+    plan = rd.from_items(
+        [{"bin_id": i, "files": "\n".join(b)} for i, b in enumerate(bins)]
+    )
+
+    def compact_bin(batch):
+        import pandas as pd
+
+        out_rows = []
+        for bin_id, file_blob in zip(batch["bin_id"], batch["files"]):
+            out = os.path.join(dst_dir, f"compact-{int(bin_id):05d}.parquet")
+            fl = file_blob.split("\n")
+            if os.path.exists(out):
+                out_rows.append((int(bin_id), 0, True))
+                continue
+            tbl = pa.concat_tables(
+                [pq_mod.read_table(f) for f in fl], promote_options="default"
+            )
+            tmp = out + ".tmp"
+            pq_mod.write_table(tbl, tmp)
+            os.replace(tmp, out)
+            out_rows.append((int(bin_id), tbl.num_rows, False))
+        return pd.DataFrame(
+            out_rows, columns=["bin_id", "rows", "skipped"]
+        )
+
+    manifest = plan.map_batches(
+        compact_bin, batch_format="numpy", batch_size=1
+    ).to_pandas()
+    return len(files), len(bins), int(manifest["rows"].sum())

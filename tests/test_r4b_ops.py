@@ -483,3 +483,73 @@ def test_activity_islands_merges_overlaps(tmp_path):
     assert got["n_users"] == 2
     assert got["n_islands"] == 3
     assert got["active_us"] == (600_000_000 + W) + W + W
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_activity_islands_random_vs_brute(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    rng = np.random.default_rng(31)
+    W = 1_800_000_000
+    n = 300
+    uids = rng.integers(1, 12, size=n)
+    ts = rng.integers(0, 40 * 86_400_000_000, size=n)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts.astype("int64")).cast(pa.timestamp("us")),
+                "user_id": pa.array(uids.astype(np.int64)),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array(np.zeros(n), pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = _df(r5.activity_islands(str(tmp_path))).iloc[0]
+    # serial brute force
+    tot_islands = 0
+    tot_span = 0
+    for u in np.unique(uids):
+        t = np.sort(ts[uids == u])
+        starts = [0] + [i for i in range(1, len(t)) if t[i] - t[i - 1] > W]
+        ends = starts[1:] + [len(t)]
+        tot_islands += len(starts)
+        for s, e in zip(starts, ends):
+            tot_span += int(t[e - 1] - t[s] + W)
+    assert got["n_users"] == len(np.unique(uids))
+    assert got["n_islands"] == tot_islands
+    assert got["active_us"] == tot_span
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_layout_binpacks_and_resumes(tmp_path):
+    from crawl4ai_llm_ray.sources.io import compact_layout
+
+    src = tmp_path / "src" / "p"
+    src.mkdir(parents=True)
+    # 10 files of 100 rows -> target 250 -> bins of 2 (100+100, +100 would
+    # exceed 250)
+    for i in range(10):
+        pq.write_table(
+            pa.table({"x": pa.array(np.arange(i * 100, (i + 1) * 100))}),
+            str(src / f"f{i:02d}.parquet"),
+        )
+    dst = str(tmp_path / "dst")
+    n_in, n_out, n_rows = compact_layout(
+        str(tmp_path / "src"), dst, target_rows=250
+    )
+    assert (n_in, n_out, n_rows) == (10, 5, 1000)
+    import glob
+
+    outs = sorted(glob.glob(f"{dst}/*.parquet"))
+    assert len(outs) == 5
+    # content identity
+    all_rows = pa.concat_tables([pq.read_table(f) for f in outs])
+    assert sorted(all_rows["x"].to_pylist()) == list(range(1000))
+    # resumability: a second run skips every existing bin (rows=0 reported)
+    n_in2, n_out2, n_rows2 = compact_layout(
+        str(tmp_path / "src"), dst, target_rows=250
+    )
+    assert n_out2 == 5 and n_rows2 == 0
