@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
+        "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
         "quality_score": text.quality_score,                   # (corpus_curation composes quality+lang; demoted late-r4 rotation)
         "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
         "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
@@ -346,6 +347,34 @@ def _random_sample_sql(fraction: float = 0.1, seed: int = 7) -> str:
     return f"""
         SELECT doc_id, text FROM documents
         WHERE {key} < {thr}::UBIGINT
+    """
+
+
+def _weighted_sample_sql(k: int = 100, seed: int = 23) -> str:
+    """SQL twin of relational5.weighted_sample_orders (sequential Poisson /
+    πps sampling): uniform = remix(orderkey XOR remix(seed)) >> 11 — a
+    53-bit integer, exactly representable as a double — divided by the
+    integer cent weight. IEEE division of exactly-representable integers is
+    correctly rounded, so numpy and DuckDB produce bit-identical keys and
+    the selected k-set matches exactly (no quantization grid needed)."""
+    import numpy as np
+
+    from crawl4ai_llm_ray.state.bloom import _remix
+
+    seed_u = int(_remix(np.array([seed], dtype=np.uint64))[0])
+    key = _remix_sql(f"xor(o_orderkey::UBIGINT, {seed_u}::UBIGINT)")
+    return f"""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS weight_cents,
+                   (({key}) >> 11)::DOUBLE AS u
+            FROM orders)
+        SELECT o_orderkey, weight_cents,
+               u / weight_cents::DOUBLE AS skey
+        FROM t
+        ORDER BY skey, o_orderkey
+        LIMIT {k}
     """
 
 
@@ -1821,4 +1850,8 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
         """,
+        # sequential-Poisson weighted sample: the 53-bit uniform and the
+        # key division are both exact IEEE doubles, so the sampled SET is
+        # bit-identical to the engine's (see weighted_sample_orders)
+        "weighted_sample_orders": _weighted_sample_sql(),
     }

@@ -974,3 +974,58 @@ def activity_islands(sf_dir: str, gap_us: int = 1_800_000_000, n_parts: int = 16
     return partials.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None
     )
+
+
+def weighted_sample_orders(sf_dir: str, k: int = 100, seed: int = 23):
+    """(o_orderkey, weight_cents, skey): k orders sampled WITHOUT replacement
+    with inclusion probability ~ proportional to o_totalprice — sequential
+    Poisson sampling (Ohlsson 1998, the πps scheme Sarndal's surveys and
+    PostgreSQL's TABLESAMPLE literature use): per-row uniform
+    u = remix(orderkey XOR remix(seed)) >> 11 (a 53-bit integer, exactly
+    representable as a double), sort key = u / weight_cents, keep the k
+    SMALLEST. Every step is an exact IEEE-754 operation (the division of two
+    exactly-representable integers is correctly rounded, hence identical in
+    numpy and DuckDB), so the sampled SET — not just its distribution — is
+    bit-deterministic across engines, batchings and cluster sizes, with no
+    RNG stream, no ln(), no quantization grid. This is the weighted sibling
+    of the uniform hash-threshold samplers (text.random_sample,
+    relational4.stratified_sample): corpus curation at 100 TB wants
+    "sample documents ∝ quality score" exactly as often as "sample 10%".
+
+    Scale shape: one remix pass per batch + per-batch k-smallest partials
+    (np.argpartition) → a final sort over ≤ k×n_batches rows on the driver
+    side of the funnel. The input is never shuffled; the funnel carries only
+    (key, id, weight) triples, so k=10^4 over 10^9 rows moves ~n_batches×k
+    narrow rows. The reference has no sampling at all (storage CRUD only);
+    this extends the §2.9 engine-extension family."""
+    from ..state.bloom import _remix
+
+    seed_u = _remix(np.array([seed], dtype=np.uint64))[0]
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy()
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        u = (_remix(ok.astype(np.uint64) ^ seed_u) >> np.uint64(11)).astype(
+            np.float64
+        )
+        skey = u / cents.astype(np.float64)
+        if len(skey) > k:
+            idx = np.argpartition(skey, k)[:k]
+        else:
+            idx = np.arange(len(skey))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[idx]),
+                "weight_cents": pa.array(cents[idx]),
+                "skey": pa.array(skey[idx]),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["skey", "o_orderkey"])
+        .limit(k)
+    )

@@ -553,3 +553,64 @@ def test_compact_layout_binpacks_and_resumes(tmp_path):
         str(tmp_path / "src"), dst, target_rows=250
     )
     assert n_out2 == 5 and n_rows2 == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_orders_matches_brute_force(tmp_path):
+    """The engine's funnel (per-batch argpartition partials -> global sort)
+    must select exactly the brute-force k-smallest u/weight keys."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+    from crawl4ai_llm_ray.state.bloom import _remix
+
+    n, k, seed = 500, 25, 23
+    rng = np.random.default_rng(3)
+    ok = np.arange(n, dtype=np.int64)
+    price = rng.uniform(10.0, 5000.0, n).round(2)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "o_totalprice": pa.array(price, pa.float64()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    got = _df(r5.weighted_sample_orders(str(tmp_path), k=k, seed=seed))
+
+    seed_u = _remix(np.array([seed], dtype=np.uint64))[0]
+    cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+    u = (_remix(ok.astype(np.uint64) ^ seed_u) >> np.uint64(11)).astype(
+        np.float64
+    )
+    skey = u / cents
+    want = np.sort(ok[np.argsort(skey, kind="stable")[:k]])
+    assert sorted(got["o_orderkey"]) == list(want)
+    # weights really bias inclusion: sampled mean weight > corpus mean
+    assert got["weight_cents"].mean() > cents.mean()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_orders_weight_proportionality(tmp_path):
+    """πps semantics: an item with 50x the weight of its peers must appear
+    with (much) higher frequency across independent seeds."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    n = 200
+    price = np.full(n, 10.0)
+    price[7] = 500.0  # one heavy item
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_totalprice": pa.array(price, pa.float64()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    hits = 0
+    for seed in range(12):
+        got = _df(r5.weighted_sample_orders(str(tmp_path), k=20, seed=seed))
+        hits += int(7 in set(got["o_orderkey"]))
+    # P(include) ~ 50x base rate, capped at 1; uniform 10% per draw would
+    # hit ~1-2 of 12 runs, proportional hits nearly all
+    assert hits >= 10
