@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_products": extract.extract_products,          # selector-spec extraction (reference README:11-12)
         "crawl_pagerank": crawl_queries.crawl_pagerank,       # integer fixed-point PageRank over the link graph (new in r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # refresh-crawl scheduling: exact int blend of pagerank + in-degree (new late-r4)
+        "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP (new late-r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -1328,6 +1329,15 @@ def oracle_sql() -> dict[str, str]:
             r0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes){pr_iters}
             SELECT node AS url, pr::BIGINT AS pr FROM r5
             ORDER BY pr DESC, url LIMIT 20
+        """,
+        # fuzzy URL pairs: DuckDB's native levenshtein replays the engine's
+        # band-limited DP exactly (band k returns true distance when ≤ k)
+        "crawl_fuzzy_url_pairs": f"""
+            WITH d AS (SELECT url_canon AS u, host FROM {crawl_docs})
+            SELECT a.u AS url_a, b.u AS url_b,
+                   levenshtein(a.u, b.u)::BIGINT AS dist
+            FROM d a JOIN d b ON a.host = b.host AND a.u < b.u
+            WHERE levenshtein(a.u, b.u) <= 2
         """,
         # refresh plan: the crawl_pagerank chain + induced in-degree, exact
         # integer score blend, deterministic top-k

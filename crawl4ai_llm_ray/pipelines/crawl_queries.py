@@ -809,3 +809,40 @@ def crawl_compacted_docs(sf_dir: str = "", target_rows: int = 4096):
     )
     shutil.rmtree(dst, ignore_errors=True)
     return got
+
+
+def crawl_fuzzy_url_pairs(sf_dir: str = "", max_dist: int = 2):
+    """(url_a, url_b, dist): every same-host pair of fetched URLs within
+    Levenshtein distance ``max_dist``, url_a < url_b — near-duplicate URL
+    mining over the crawl corpus (the synthetic web's ~25% dup variants are
+    exactly this shape: query-string reorderings, fragment strips, trailing
+    slashes). Feeds canonicalization-rule discovery and trap detection; the
+    reference crawler (702ron/crawl4ai_llm) normalizes single URLs but has
+    no corpus-level similarity op. Blocking key = host (the crawl's natural
+    partition key — a frontier shard already co-locates it); kernel =
+    :func:`~.dedup.fuzzy_pairs_blocked` (one hash shuffle, closed-form
+    candidate ranks, band-limited vectorized DP; see its scale contract)."""
+    from .dedup import fuzzy_pairs_blocked
+
+    out = ensure_crawl()
+    ds = read_docs(out).select_columns(["url_canon", "host"])
+    pairs = fuzzy_pairs_blocked(
+        ds,
+        text_col="url_canon",
+        block_col="host",
+        max_dist=max_dist,
+        num_partitions=_N_PARTITIONS,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {
+                    "url_a": pa.array([], pa.string()),
+                    "url_b": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({"url_a": t["a"], "url_b": t["b"], "dist": t["dist"]})
+
+    return pairs.map_batches(rename, batch_format="pyarrow")

@@ -1036,3 +1036,181 @@ def embed_cosine_pairs(sf_dir: str, threshold: float = 0.35, max_rows: int = 100
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------------- fuzzy (edit-distance)
+def _padded_bytes(sa) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L) uint8 zero-padded byte matrix + int64 lengths for a pyarrow
+    string array — one vectorized scatter from the values buffer, no per-row
+    Python. Pad bytes are 0x00, which cannot occur in utf-8 text, so padding
+    never aliases a real character."""
+    if isinstance(sa, pa.ChunkedArray):
+        sa = sa.combine_chunks()
+    sa = sa.cast(pa.large_string())
+    n = len(sa)
+    off = np.frombuffer(sa.buffers()[1], np.int64)[sa.offset : sa.offset + n + 1]
+    lens = np.diff(off)
+    L = int(lens.max()) if n else 0
+    out = np.zeros((n, max(L, 1)), np.uint8)
+    if n and off[-1] > off[0]:
+        data = np.frombuffer(sa.buffers()[2], np.uint8)[off[0] : off[-1]]
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(len(data)) - np.repeat(off[:-1] - off[0], lens)
+        out[rows, cols] = data
+    return out, lens.astype(np.int64)
+
+
+def _banded_levenshtein(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray, k: int
+) -> np.ndarray:
+    """Exact Levenshtein distance for every (A[i], B[i]) pair whose distance
+    is ≤ k; pairs beyond the band report k+1. Requires |la-lb| ≤ k (callers
+    length-prune first). The classic band-limited DP (Ukkonen '85): row i
+    keeps dp[i][j] only for the 2k+1 diagonals j-i ∈ [-k, k] — everything
+    outside the band is provably > k. Vectorized over ALL pairs at once:
+    the Python loops are max_len × (2k+1) numpy steps (≈ a few hundred for
+    URLs at k=2), never per-pair or per-row."""
+    P, INF, W = A.shape[0], np.int32(k + 1), 2 * k + 1
+    res = np.full(P, INF, np.int32)
+    in_band = np.abs(la - lb) <= k  # |len diff| > k ⇒ dist > k, stays INF
+    done = (la == 0) & in_band
+    res[done] = np.minimum(lb[done], INF).astype(np.int32)  # dist("", b) = |b|
+    dp = np.full((P, W), INF, np.int32)
+    for d in range(0, k + 1):
+        dp[:, k + d] = d  # dp[0][j] = j on diagonal d = j
+    max_i = int(la.max()) if P else 0
+    Bw = B.shape[1]
+    for i in range(1, max_i + 1):
+        new = np.full((P, W), INF, np.int32)
+        ai = A[:, i - 1]
+        for di in range(W):
+            j = i + di - k
+            if j < 0:
+                continue
+            if j == 0:
+                new[:, di] = min(i, k + 1)
+                continue
+            # diagonal (i-1, j-1): same offset column
+            cost = dp[:, di] + (ai != B[:, min(j - 1, Bw - 1)])
+            if di + 1 < W:  # (i-1, j): offset d+1
+                cost = np.minimum(cost, dp[:, di + 1] + 1)
+            if di - 1 >= 0:  # (i, j-1): offset d-1, current row
+                cost = np.minimum(cost, new[:, di - 1] + 1)
+            new[:, di] = np.minimum(cost, INF)
+        dp = new
+        hit = (la == i) & in_band
+        if hit.any():
+            res[hit] = dp[hit, lb[hit] - i + k]
+    return np.minimum(res, INF)
+
+
+def _pair_indices(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-group (i, j), i < j pair indices for groups of the given
+    sizes, as LOCAL offsets plus the owning group id — closed-form (no loop
+    over groups): global pair rank t within a group of size n maps to row
+    i = floor((2n-1-sqrt((2n-1)²-8t))/2), j = t - S(i) + i + 1, with a ±1
+    integer correction for float sqrt error."""
+    m = counts * (counts - 1) // 2
+    M = int(m.sum())
+    if M == 0:
+        z = np.array([], np.int64)
+        return z, z, z
+    gid = np.repeat(np.arange(len(counts), dtype=np.int64), m)
+    starts_m = np.concatenate([[0], np.cumsum(m)[:-1]])
+    t = np.arange(M, dtype=np.int64) - np.repeat(starts_m, m)
+    n = counts[gid]
+    i = ((2 * n - 1 - np.sqrt((2 * n - 1.0) ** 2 - 8.0 * t)) // 2).astype(np.int64)
+    S = i * (2 * n - i - 1) // 2  # start rank of row i
+    too_big = S > t
+    i[too_big] -= 1
+    S[too_big] = i[too_big] * (2 * n[too_big] - i[too_big] - 1) // 2
+    S_next = (i + 1) * (2 * n - i - 2) // 2
+    too_small = S_next <= t
+    i[too_small] += 1
+    S[too_small] = i[too_small] * (2 * n[too_small] - i[too_small] - 1) // 2
+    j = t - S + i + 1
+    return gid, i, j
+
+
+def fuzzy_pairs_blocked(
+    ds,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 2,
+    max_block: int = 512,
+    num_partitions: int = 16,
+):
+    """(a, b, dist): every within-block pair of distinct strings with edit
+    distance ≤ max_dist, a < b — a blocked string-similarity self-join, the
+    entity-resolution / near-duplicate-URL primitive (Levenshtein analog of
+    minhash_lsh_pairs' Jaccard machinery). The reference has no similarity
+    ops at all (storage CRUD only, storage/json_storage.py); this extends
+    the dedup family.
+
+    Scale shape: rows shuffle ONCE by hash(block); inside a partition every
+    block is complete, so candidate generation (closed-form within-group
+    pair ranks), the |len(a)-len(b)| ≤ k prune, and ONE band-limited DP over
+    all surviving pairs are partition-local and fully vectorized. Blocks
+    larger than ``max_block`` are truncated to their lexicographically first
+    ``max_block`` members (deterministic, logged) — the same skew cap
+    contract as minhash's max_bucket: a block that big is a crawler trap /
+    degenerate key, and candidate pairs grow O(n²)."""
+    import logging
+
+    def key(t: pa.Table) -> pa.Table:
+        bp = fnv1a64(t[block_col]) % np.uint64(num_partitions)
+        return pa.table(
+            {
+                "s": t[text_col],
+                "blk": t[block_col],
+                "bp": pa.array(bp.astype(np.int64)),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["blk", "s"], kind="mergesort")
+        strs = df["s"].to_numpy()
+        blks = df["blk"].to_numpy()
+        uniq, starts, counts = np.unique(blks, return_index=True, return_counts=True)
+        if (counts > max_block).any():
+            over = counts > max_block
+            logging.getLogger(__name__).warning(
+                "fuzzy_pairs_blocked: %d blocks over cap %d (largest %d) — "
+                "truncated to first %d members each",
+                int(over.sum()), max_block, int(counts.max()), max_block,
+            )
+            counts = np.minimum(counts, max_block)
+        gid, li, lj = _pair_indices(counts)
+        if not len(gid):
+            return empty
+        pi = starts[gid] + li
+        pj = starts[gid] + lj
+        M, lens = _padded_bytes(pa.array(strs, pa.string()))
+        keep = np.abs(lens[pi] - lens[pj]) <= max_dist
+        pi, pj = pi[keep], pj[keep]
+        if not len(pi):
+            return empty
+        dist = _banded_levenshtein(M[pi], lens[pi], M[pj], lens[pj], max_dist)
+        ok = dist <= max_dist
+        return pd.DataFrame(
+            {
+                "a": strs[pi[ok]],
+                "b": strs[pj[ok]],
+                "dist": dist[ok].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("bp")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -614,3 +614,115 @@ def test_weighted_sample_orders_weight_proportionality(tmp_path):
     # P(include) ~ 50x base rate, capped at 1; uniform 10% per draw would
     # hit ~1-2 of 12 runs, proportional hits nearly all
     assert hits >= 10
+
+
+def test_banded_levenshtein_matches_reference_dp():
+    """Band-limited vectorized DP == classic full DP (capped at k+1) on
+    random strings including out-of-band length differences."""
+    from crawl4ai_llm_ray.pipelines.dedup import (
+        _banded_levenshtein,
+        _padded_bytes,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(dp[j] + 1, nd[j - 1] + 1, dp[j - 1] + (ca != cb)))
+            dp = nd
+        return dp[-1]
+
+    rng = np.random.default_rng(0)
+    alph = list("abcd")
+    pairs = []
+    for _ in range(800):
+        la = int(rng.integers(0, 14))
+        lb = max(0, la + int(rng.integers(-4, 5)))
+        pairs.append(
+            ("".join(rng.choice(alph, la)), "".join(rng.choice(alph, lb)))
+        )
+    A, la = _padded_bytes(pa.array([p[0] for p in pairs]))
+    B, lb = _padded_bytes(pa.array([p[1] for p in pairs]))
+    for k in (1, 2, 3):
+        got = _banded_levenshtein(A, la, B, lb, k)
+        want = np.array([min(lev(a, b), k + 1) for a, b in pairs])
+        assert (got == want).all()
+
+
+def test_pair_indices_enumerate_all_combinations():
+    import itertools
+
+    from crawl4ai_llm_ray.pipelines.dedup import _pair_indices
+
+    for sizes in ([0], [1], [5], [3, 0, 2, 4], [100]):
+        counts = np.array(sizes, np.int64)
+        gid, i, j = _pair_indices(counts)
+        want = []
+        for g, n in enumerate(sizes):
+            for a, b in itertools.combinations(range(n), 2):
+                want.append((g, a, b))
+        assert list(zip(gid, i, j)) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_blocked_hand_built(tmp_path):
+    """Within-block pairs <= max_dist found, cross-block pairs never
+    compared, distances exact."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.dedup import fuzzy_pairs_blocked
+
+    rows = [
+        ("h1", "abcd"), ("h1", "abce"), ("h1", "abzz"),  # d(1-2)=1, d(1-3)=2
+        ("h2", "abcd"),  # same string as h1's but another block: no pair
+        ("h2", "qqqq"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "blk": pa.array([r[0] for r in rows]),
+                "s": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    got = (
+        fuzzy_pairs_blocked(ds, text_col="s", block_col="blk", max_dist=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = {("abcd", "abce", 1), ("abcd", "abzz", 2), ("abce", "abzz", 2)}
+    assert {(r.a, r.b, r.dist) for r in got.itertuples()} == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_block_cap_truncates(tmp_path):
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.dedup import fuzzy_pairs_blocked
+
+    # 6 near-identical strings in one block, cap at 3 -> pairs only among
+    # the lexicographically first 3
+    strs = [f"aaa{i}" for i in range(6)]
+    ds = rd.from_arrow(
+        pa.table({"blk": pa.array(["h"] * 6), "s": pa.array(strs)})
+    )
+    got = fuzzy_pairs_blocked(
+        ds, text_col="s", block_col="blk", max_dist=2, max_block=3
+    ).to_pandas()
+    assert len(got) == 3  # C(3,2)
+    assert set(got["a"]) | set(got["b"]) == {"aaa0", "aaa1", "aaa2"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_fuzzy_url_pairs_same_host_only():
+    from crawl4ai_llm_ray.pipelines import crawl_queries as cq
+
+    got = _df(cq.crawl_fuzzy_url_pairs())
+    assert len(got) > 0
+    hosts_a = got["url_a"].str.extract(r"https?://([^/]*)")[0]
+    hosts_b = got["url_b"].str.extract(r"https?://([^/]*)")[0]
+    assert (hosts_a == hosts_b).all()
+    assert (got["url_a"] < got["url_b"]).all()
+    assert got["dist"].between(0, 2).all()
