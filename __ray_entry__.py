@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": crawl_queries.crawl_pagerank,       # integer fixed-point PageRank over the link graph (new in r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # refresh-crawl scheduling: exact int blend of pagerank + in-degree (new late-r4)
         "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP (new late-r4)
+        "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection (new late-r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -1338,6 +1339,16 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.u, b.u)::BIGINT AS dist
             FROM d a JOIN d b ON a.host = b.host AND a.u < b.u
             WHERE levenshtein(a.u, b.u) <= 2
+        """,
+        # URL template mining: digit-run collapse, grouped count + exemplar
+        "crawl_url_templates": f"""
+            WITH d AS (SELECT url_canon, host,
+                              regexp_replace(url_canon, '[0-9]+', '{{n}}', 'g')
+                                  AS template
+                       FROM {crawl_docs})
+            SELECT host, template, count(*)::BIGINT AS n_urls,
+                   min(url_canon) AS url_min
+            FROM d GROUP BY 1, 2
         """,
         # refresh plan: the crawl_pagerank chain + induced in-degree, exact
         # integer score blend, deterministic top-k

@@ -846,3 +846,45 @@ def crawl_fuzzy_url_pairs(sf_dir: str = "", max_dist: int = 2):
         return pa.table({"url_a": t["a"], "url_b": t["b"], "dist": t["dist"]})
 
     return pairs.map_batches(rename, batch_format="pyarrow")
+
+
+def crawl_url_templates(sf_dir: str = ""):
+    """(host, template, n_urls, url_min): URL structure mining — collapse
+    every digit run in the canonical URL to ``{n}`` and count URLs per
+    (host, template), keeping the lexicographically first concrete URL as
+    the exemplar. The crawl-operations view behind crawler-trap detection
+    (a template with an unbounded count is a calendar/session-id trap) and
+    per-template scheduling; crawl4ai normalizes single URLs only. One
+    vectorized Arrow regex kernel per batch + per-batch partial counts;
+    the final aggregate is dimension-sized (distinct templates), same
+    funnel contract as crawl_host_stats."""
+    out = ensure_crawl()
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tmpl = pc.replace_substring_regex(t["url_canon"], r"[0-9]+", "{n}")
+        return pa.table(
+            {"host": t["host"], "template": tmpl, "url": t["url_canon"]}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["host", "template"], as_index=False).agg(
+            n_urls=("url", "size"), url_min=("url", "min")
+        )
+
+    partials = (
+        read_docs(out)
+        .select_columns(["url_canon", "host"])
+        .map_batches(per_batch, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["host", "template"], as_index=False).agg(
+            n_urls=("n_urls", "sum"), url_min=("url_min", "min")
+        )
+
+    return partials.repartition(1).map_batches(
+        agg, batch_format="pandas", batch_size=None
+    )

@@ -726,3 +726,20 @@ def test_crawl_fuzzy_url_pairs_same_host_only():
     assert (hosts_a == hosts_b).all()
     assert (got["url_a"] < got["url_b"]).all()
     assert got["dist"].between(0, 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_url_templates_collapse_digits():
+    from crawl4ai_llm_ray.pipelines import crawl_queries as cq
+
+    got = _df(cq.crawl_url_templates())
+    assert len(got) > 0
+    # no digits survive in templates; exemplar matches its own template
+    assert not got["template"].str.contains(r"[0-9]").any()
+    import re
+
+    for r in got.itertuples():
+        assert re.sub(r"[0-9]+", "{n}", r.url_min) == r.template
+    # counts add up to the corpus size
+    docs = _df(cq.crawl_interleaved_docs())
+    assert got["n_urls"].sum() == len(docs)
