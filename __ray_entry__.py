@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # refresh-crawl scheduling: exact int blend of pagerank + in-degree (new late-r4)
         "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP (new late-r4)
         "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection (new late-r4)
+        "crawl_seed_distance": crawl_queries.crawl_seed_distance,  # multi-source BFS over the induced link graph, recursive-CTE twin (new late-r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -349,6 +350,57 @@ def _random_sample_sql(fraction: float = 0.1, seed: int = 7) -> str:
     return f"""
         SELECT doc_id, text FROM documents
         WHERE {key} < {thr}::UBIGINT
+    """
+
+
+def _crawl_seed_distance_sql() -> str:
+    """Recursive-CTE twin of crawl_seed_distance: seeds canonicalized with
+    the same SQL chain as the metrics oracle, the induced-link-graph CTE
+    chain shared with crawl_pagerank, then bounded BFS via WITH RECURSIVE
+    (UNION dedups (node, dist) states; min per node afterwards)."""
+    from crawl4ai_llm_ray.pipelines.crawl_queries import _ENTRY_CFG, CRAWL_OUT
+    from crawl4ai_llm_ray.sources.synth import seed_table
+
+    seeds = seed_table(_ENTRY_CFG)
+    seed_vals = ",".join(f"('{u}')" for u in seeds["url"].to_pylist())
+    return f"""
+        WITH RECURSIVE docs AS (SELECT url_canon, spans
+                    FROM read_parquet('{CRAWL_OUT}/docs/*/*.parquet')),
+        nodes AS (SELECT DISTINCT url_canon AS node FROM docs),
+        l AS (SELECT url_canon AS src, s.media_ref AS ref
+              FROM (SELECT url_canon, unnest(spans) AS s FROM docs)
+              WHERE s.kind = 'link'),
+        raws AS (SELECT NULL::VARCHAR AS src, u AS ref FROM (VALUES {seed_vals}) sv(u)
+                 UNION ALL SELECT src, ref FROM l),
+        c1 AS (SELECT src, regexp_replace(ref, '#.*$', '') AS u FROM raws),
+        c2 AS (SELECT src,
+                      lower(regexp_extract(u, '^https?://([^/?#]*)', 1)) AS rawhost,
+                      regexp_extract(u, '^https?://[^/?#]*([^?#]*)', 1) AS rawpath,
+                      regexp_extract(u, '\\?([^#]*)$', 1) AS rawq
+               FROM c1),
+        c3 AS (SELECT src, regexp_replace(rawhost, ':80$', '') AS host,
+                      CASE WHEN rawpath = '' THEN '/'
+                           WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                           THEN rtrim(rawpath, '/') ELSE rawpath END AS path,
+                      CASE WHEN rawq IS NULL OR rawq = '' THEN ''
+                           ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+                      END AS q
+               FROM c2),
+        t AS (SELECT src, 'http://' || host || path || q AS dst FROM c3),
+        seedc AS (SELECT DISTINCT t.dst AS node FROM t
+                  JOIN nodes ON t.dst = nodes.node WHERE t.src IS NULL),
+        edges AS (SELECT DISTINCT t.src, t.dst
+                  FROM t JOIN nodes ON t.dst = nodes.node
+                  WHERE t.src IS NOT NULL AND t.src <> t.dst),
+        walk(node, dist) AS (
+            SELECT node, 0 FROM seedc
+            UNION
+            SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.src
+            WHERE w.dist < 64
+        ),
+        d AS (SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node)
+        SELECT n.node AS url, COALESCE(d.dist, -1)::BIGINT AS dist
+        FROM nodes n LEFT JOIN d USING (node)
     """
 
 
@@ -1340,6 +1392,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.host = b.host AND a.u < b.u
             WHERE levenshtein(a.u, b.u) <= 2
         """,
+        # seed distance: multi-source BFS replayed as a recursive CTE
+        "crawl_seed_distance": _crawl_seed_distance_sql(),
         # URL template mining: digit-run collapse, grouped count + exemplar
         "crawl_url_templates": f"""
             WITH d AS (SELECT url_canon, host,

@@ -888,3 +888,29 @@ def crawl_url_templates(sf_dir: str = ""):
     return partials.repartition(1).map_batches(
         agg, batch_format="pandas", batch_size=None
     )
+
+
+def crawl_seed_distance(sf_dir: str = ""):
+    """(url, dist): minimum link-hop distance of every fetched page from the
+    crawl's seed set over the induced link graph (-1 if unreachable — cannot
+    occur for a real crawl, where every fetched page was discovered through
+    fetched parents; the column exists for the general operator contract).
+    The seed-proximity signal crawl schedulers weight next to PageRank
+    (crawl_refresh_plan); multi-source BFS via
+    :func:`~.graph.bfs_distance` — join + min-aggregate rounds, exact
+    integers, recursive-CTE SQL twin."""
+    from ..functions.urlnorm import canonicalize_urls
+    from ..sources.synth import seed_table
+    from .graph import bfs_distance
+
+    out = ensure_crawl()
+    nodes, edges = _induced_link_graph(out)
+    seeds = canonicalize_urls(seed_table(_ENTRY_CFG)["url"]).to_pylist()
+    dist = bfs_distance(
+        edges, nodes, {s for s in seeds if s}, num_partitions=_N_PARTITIONS
+    )
+
+    def out_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["node"], "dist": t["dist"]})
+
+    return dist.map_batches(out_cols, batch_format="pyarrow")

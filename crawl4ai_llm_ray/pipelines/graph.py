@@ -384,3 +384,89 @@ def triangle_count(edges, num_partitions: int = 8):
             "n_triangles": pa.array([n_tri], type=pa.int64()),
         }
     )
+
+
+def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
+    """(node, dist) multi-source BFS over a directed edge Dataset: dist =
+    minimum hop count from any source, -1 for unreachable nodes. The third
+    member of the Pregel family next to pagerank (above) and
+    connected_components (dedup.py): per round
+
+        msgs = (edges ⋈ dist on src, dist finite)[dst, dist+1]
+        dist = (dist ∪ msgs).groupby(node).min(dist)
+
+    until the global dist sum stops decreasing (distances are monotone
+    non-increasing ints, so an unchanged sum IS the fixpoint; rounds ≤
+    graph eccentricity of the source set). Every step is a partitioned
+    hash join + narrow aggregate — no driver-side edge loop; integer
+    arithmetic, so the result is bit-identical across partitionings and
+    replays exactly in a recursive-CTE SQL oracle.
+
+    ``source_set``: small broadcastable set of node ids (seed lists are
+    dimension-sized by nature — shipped once via closure capture, the
+    ray.put broadcast pattern, not re-derived per batch)."""
+    import ray
+
+    SENT = np.int64(1 << 40)  # unreachable sentinel, far above any real dist
+    src_ref = ray.put(frozenset(source_set))
+
+    def init(t: pa.Table) -> pa.Table:
+        srcs = ray.get(src_ref)
+        node = t["node"].to_pylist()
+        d = np.full(len(node), SENT, np.int64)
+        d[[i for i, u in enumerate(node) if u in srcs]] = 0
+        return pa.table({"node": t["node"], "dist": pa.array(d)})
+
+    dist = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    edges = edges.materialize()
+    if edges.count() == 0:
+        prev = dist
+    else:
+        prev_sum = dist.sum("dist")
+        while True:
+            import pyarrow.compute as pc
+
+            def bump(t: pa.Table) -> pa.Table:
+                keep = pc.less(t["dist"], pa.scalar(int(SENT), pa.int64()))
+                t = t.filter(keep)
+                return pa.table(
+                    {
+                        "node": t["dst"],
+                        "dist": pc.add(t["dist"], pa.scalar(1, pa.int64())),
+                    }
+                )
+
+            msgs = edges.join(
+                dist,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("node",),
+            ).map_batches(bump, batch_format="pyarrow")
+            merged = (
+                dist.union(msgs)
+                .groupby("node")
+                .min("dist")
+                .rename_columns({"min(dist)": "dist"})
+                .materialize()
+            )
+            new_sum = merged.sum("dist")
+            dist = merged
+            if new_sum == prev_sum:
+                prev = merged
+                break
+            prev_sum = new_sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = t["dist"]
+        unreached = pc.greater_equal(d, pa.scalar(int(SENT), pa.int64()))
+        return pa.table(
+            {
+                "node": t["node"],
+                "dist": pc.if_else(unreached, pa.scalar(-1, pa.int64()), d),
+            }
+        )
+
+    return prev.map_batches(finish, batch_format="pyarrow")

@@ -134,3 +134,79 @@ def test_triangle_count_random_graphs_vs_brute_force():
         assert r["n_triangles"] == brute, (trial, edges)
         assert r["n_wedges"] == wedges
         assert r["n_edges"] == len(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_distance_hand_built():
+    """Diamond + chain + isolated node: exact hop counts, -1 unreachable."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.graph import bfs_distance
+
+    #  s -> a -> b -> c ;  s -> b (shortcut) ; iso unreachable
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["s", "a", "b", "s"]),
+                "dst": pa.array(["a", "b", "c", "b"]),
+            }
+        )
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(["s", "a", "b", "c", "iso"])})
+    )
+    got = (
+        bfs_distance(edges, nodes, {"s"}, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "iso": -1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_distance_multi_source_and_empty_edges():
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.graph import bfs_distance
+
+    nodes = rd.from_arrow(pa.table({"node": pa.array(["x", "y", "z"])}))
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(["x"]), "dst": pa.array(["z"])})
+    )
+    got = (
+        bfs_distance(edges, nodes, {"x", "y"}, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert got == {"x": 0, "y": 0, "z": 1}
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    got2 = (
+        bfs_distance(empty, nodes, {"y"}, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["dist"]
+        .to_dict()
+    )
+    assert got2 == {"x": -1, "y": 0, "z": -1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_seed_distance_bounded_by_wave():
+    """Link-hop distance from the seed set can never exceed the crawl wave a
+    page was fetched in (the crawl discovers each page through a chain of
+    fetched parents, one wave per hop at most)."""
+    import pandas as pd
+
+    from crawl4ai_llm_ray.pipelines import crawl_queries as cq
+
+    dist = cq.crawl_seed_distance().to_pandas()
+    docs = cq.crawl_doc_stats().to_pandas()[["url_canon", "wave"]]
+    m = dist.merge(docs, left_on="url", right_on="url_canon")
+    assert len(m) == len(dist) > 0
+    assert (m["dist"] >= 0).all()
+    assert (m["dist"] <= m["wave"]).all()
+    # seeds themselves are wave 0 / dist 0
+    assert set(m[m["wave"] == 0]["dist"]) == {0}
