@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
         "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
+        "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
         "quality_score": text.quality_score,                   # (corpus_curation composes quality+lang; demoted late-r4 rotation)
         "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
         "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
@@ -1924,6 +1925,18 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # clickstream transition matrix: lead() over the same deterministic
+        # (ts, event_id) order the engine sorts by inside each user partition
+        "event_transitions": """
+            WITH s AS (SELECT event_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
         """,
         # sequential-Poisson weighted sample: the 53-bit uniform and the
         # key division are both exact IEEE doubles, so the sampled SET is

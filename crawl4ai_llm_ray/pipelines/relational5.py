@@ -1029,3 +1029,67 @@ def weighted_sample_orders(sf_dir: str, k: int = 100, seed: int = 23):
         .sort(["skey", "o_orderkey"])
         .limit(k)
     )
+
+
+def event_transitions(sf_dir: str, n_parts: int = 16):
+    """(from_type, to_type, n): first-order Markov transition counts over
+    each user's time-ordered event stream — the clickstream-model /
+    next-action statistic (funnel_depth's strict-order machinery, but
+    counting EVERY consecutive pair instead of one milestone chain).
+
+    Scale shape: a user's history is partition-complete under
+    user_id % n_parts, so ordering (ts, event_id — the deterministic
+    tie-break) and the shift-pair extraction are partition-local; only
+    (from, to, partial_n) rows — at most |types|² per partition — leave the
+    partition, and the final sum is dimension-sized. SQL twin: lead() OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "up",
+            pa.array((t["user_id"].to_numpy() % n_parts).astype(np.int64)),
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype=object),
+                    "to_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {"from_type": et[:-1][same_user], "to_type": et[1:][same_user]}
+        )
+        g = out.groupby(["from_type", "to_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    partials = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("up")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype=object),
+                    "to_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        return (
+            df.groupby(["from_type", "to_type"], as_index=False)["n"]
+            .sum()
+            .astype({"n": np.int64})
+        )
+
+    return partials.repartition(1).map_batches(
+        agg, batch_format="pandas", batch_size=None
+    )

@@ -743,3 +743,57 @@ def test_crawl_url_templates_collapse_digits():
     # counts add up to the corpus size
     docs = _df(cq.crawl_interleaved_docs())
     assert got["n_urls"].sum() == len(docs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_transitions_hand_built(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # user 1: a->b->a (pairs ab, ba); user 2: a alone (no pair);
+    # cross-user boundary must NOT pair
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "a"),
+        (2, 5, "a"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], "datetime64[us]")
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array(np.zeros(len(rows)), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = _df(r5.event_transitions(str(tmp_path)))
+    as_map = {(r.from_type, r.to_type): r.n for r in got.itertuples()}
+    assert as_map == {("a", "b"): 1, ("b", "a"): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_transitions_tie_break_by_event_id(tmp_path):
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # identical ts: order falls back to event_id -> a(0) then b(1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 0], pa.int64()),
+                "ts": pa.array(np.array([10, 10], "datetime64[us]")),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["b", "a"], pa.string()),
+                "value": pa.array(np.zeros(2), pa.float64()),
+                "props": pa.array(["{}"] * 2, pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = _df(r5.event_transitions(str(tmp_path)))
+    assert {(r.from_type, r.to_type): r.n for r in got.itertuples()} == {
+        ("a", "b"): 1
+    }
