@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP (new late-r4)
         "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection (new late-r4)
         "crawl_seed_distance": crawl_queries.crawl_seed_distance,  # multi-source BFS over the induced link graph, recursive-CTE twin (new late-r4)
+        "crawl_url_clusters": crawl_queries.crawl_url_clusters,  # URL entity resolution: fuzzy pairs → connected components → canonical member (new late-r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -1395,6 +1396,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # seed distance: multi-source BFS replayed as a recursive CTE
         "crawl_seed_distance": _crawl_seed_distance_sql(),
+        # URL entity resolution: transitive closure over levenshtein pairs,
+        # labels = FNV(url) >> 1 exactly as the engine (HUGEINT floor-div),
+        # canonical member = least label mapped back to its URL
+        "crawl_url_clusters": f"""
+            WITH RECURSIVE d AS (SELECT url_canon AS u, host FROM {crawl_docs}),
+            h AS (SELECT u, (({_fnv_sql("u")}) // 2) AS hid FROM d),
+            p AS (SELECT a.u AS ua, b.u AS ub FROM d a JOIN d b
+                  ON a.host = b.host AND a.u < b.u
+                  WHERE levenshtein(a.u, b.u) <= 2),
+            edges AS (SELECT ha.hid AS s, hb.hid AS t
+                      FROM p JOIN h ha ON p.ua = ha.u JOIN h hb ON p.ub = hb.u
+                      UNION ALL
+                      SELECT hb.hid, ha.hid
+                      FROM p JOIN h ha ON p.ua = ha.u JOIN h hb ON p.ub = hb.u),
+            reach(a, b) AS (
+                SELECT s, t FROM edges
+                UNION
+                SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s
+            ),
+            lab AS (SELECT a AS node, least(a, min(b)) AS label
+                    FROM reach GROUP BY a),
+            lbl AS (SELECT h.u, COALESCE(l.label, h.hid) AS label
+                    FROM h LEFT JOIN lab l ON h.hid = l.node)
+            SELECT lbl.u AS url, hm.u AS canonical_url,
+                   (lbl.u = hm.u) AS keep
+            FROM lbl JOIN h hm ON hm.hid = lbl.label
+        """,
         # URL template mining: digit-run collapse, grouped count + exemplar
         "crawl_url_templates": f"""
             WITH d AS (SELECT url_canon, host,

@@ -914,3 +914,89 @@ def crawl_seed_distance(sf_dir: str = ""):
         return pa.table({"url": t["node"], "dist": t["dist"]})
 
     return dist.map_batches(out_cols, batch_format="pyarrow")
+
+
+def crawl_url_clusters(sf_dir: str = "", max_dist: int = 2):
+    """(url, canonical_url, keep): near-duplicate URL entity resolution —
+    the full ER composition over the crawl corpus: blocked edit-distance
+    pairs (:func:`crawl_fuzzy_url_pairs` machinery) → undirected edges →
+    distributed min-label connected components (:func:`~.dedup
+    .connected_components`) → canonical member mapped back to its URL.
+    The URL-space analog of dedup_clusters' document pipeline: cluster
+    query-string/fragment variants of the same page so the fetch scheduler
+    spends budget once per entity. keep marks the canonical row.
+
+    Node labels are ``url_hash >> 1`` (the frontier's FNV-1a-64 of the
+    canonical URL, shifted into non-negative int64 so connected_components'
+    monotone-sum fixpoint stays exact) — canonical member = min hash, an
+    arbitrary-but-deterministic choice the SQL twin replays bit-for-bit
+    (same FNV, same shift, least()); a 64-bit collision would merge two
+    clusters, the same documented tradeoff as the repo's other hash-keyed
+    dedup paths. Recursive-CTE SQL twin over levenshtein pairs."""
+    from ..functions.hashing import fnv1a64
+    from .dedup import connected_components, fuzzy_pairs_blocked
+
+    out = ensure_crawl()
+    ds = read_docs(out).select_columns(["url_canon", "host"])
+    pairs = fuzzy_pairs_blocked(
+        ds,
+        text_col="url_canon",
+        block_col="host",
+        max_dist=max_dist,
+        num_partitions=_N_PARTITIONS,
+    )
+
+    def node_ids(t: pa.Table) -> pa.Table:
+        hid = (t["url_hash"].to_numpy() >> np.uint64(1)).astype(np.int64)
+        return pa.table({"node": pa.array(hid), "url": t["url_canon"]})
+
+    mapping = (
+        read_docs(out)
+        .select_columns(["url_canon", "url_hash"])
+        .map_batches(node_ids, batch_format="pyarrow")
+        .materialize()
+    )
+    nodes = mapping.select_columns(["node"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        ha = (fnv1a64(t["a"]) >> np.uint64(1)).astype(np.int64)
+        hb = (fnv1a64(t["b"]) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([ha, hb])),
+                "dst": pa.array(np.concatenate([hb, ha])),
+            }
+        )
+
+    edges = pairs.map_batches(expand, batch_format="pyarrow")
+    labels = connected_components(edges, nodes, num_partitions=_N_PARTITIONS)
+    with_url = labels.join(
+        mapping,
+        join_type="inner",
+        num_partitions=_N_PARTITIONS,
+        on=("node",),
+    )
+    canon = mapping.rename_columns({"node": "label", "url": "canonical_url"})
+    joined = with_url.join(
+        canon,
+        join_type="inner",
+        num_partitions=_N_PARTITIONS,
+        on=("label",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": t["url"],
+                "canonical_url": t["canonical_url"],
+                "keep": pc.equal(t["url"], t["canonical_url"]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -874,13 +874,35 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "label": t["node"]})
 
+    def checksum(ds) -> tuple:
+        """Overflow-safe monotone fixpoint metric: the true label sum split
+        into 21-bit limbs (label = hi·2^42 + mid·2^21 + lo, each limb sum
+        ≤ n·2^21 — no int64 overflow below n = 2^42 rows). The true sum is
+        a bijection of the limb-sum triple, so triple-unchanged ⟺
+        sum-unchanged; a plain sum("label") overflows once labels are
+        64-bit hashes (crawl_url_clusters) rather than small ids."""
+        M = np.int64((1 << 21) - 1)
+
+        def limbs(t: pa.Table) -> pa.Table:
+            lab = t["label"].to_numpy()
+            return pa.table(
+                {
+                    "hi": pa.array(lab >> np.int64(42)),
+                    "mid": pa.array((lab >> np.int64(21)) & M),
+                    "lo": pa.array(lab & M),
+                }
+            )
+
+        part = ds.map_batches(limbs, batch_format="pyarrow")
+        return (part.sum("hi"), part.sum("mid"), part.sum("lo"))
+
     labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
     edges = edges.materialize()
     if edges.count() == 0:
         return labels
     if num_partitions is None:
         num_partitions = max(2, min(64, labels.count() // 500_000))
-    prev_sum = labels.sum("label")
+    prev_sum = checksum(labels)
     while True:
         msgs = edges.join(
             labels,
@@ -896,7 +918,7 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
             .rename_columns({"min(label)": "label"})
             .materialize()
         )
-        new_sum = merged.sum("label")
+        new_sum = checksum(merged)
         labels = merged
         if new_sum == prev_sum:
             return labels
