@@ -55,7 +55,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # clustered_lookup and demoted five more sibling-covered entries, so
     # every one of the round's sixteen new operator families appears in the
     # driver record except the four compositions/siblings explicitly tagged
-    # in the tail.
+    # in the tail. The continuation-session rotation put the four new crawl
+    # ops (fuzzy pairs, templates, seed distance, url clusters) in-window
+    # and demoted four compositions whose machinery stays in-window via a
+    # sibling (crawl_refresh_plan, bigram_pmi, crawl_curation,
+    # embed_dedup_clusters — each tagged below), so funnel_depth /
+    # profile_orders / anomaly_days / clustered_lookup remain in the record.
     return {
         # --- crawl pipeline artifacts (exact parity in pytest; every one
         #     ALSO DuckDB-oracle-checked — doc_stats/span_explode via unnest,
@@ -67,7 +72,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
         "extract_products": extract.extract_products,          # selector-spec extraction (reference README:11-12)
         "crawl_pagerank": crawl_queries.crawl_pagerank,       # integer fixed-point PageRank over the link graph (new in r4)
-        "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # refresh-crawl scheduling: exact int blend of pagerank + in-degree (new late-r4)
         "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP (new late-r4)
         "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection (new late-r4)
         "crawl_seed_distance": crawl_queries.crawl_seed_distance,  # multi-source BFS over the induced link graph, recursive-CTE twin (new late-r4)
@@ -92,8 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": text.corpus_curation,               # composed curation pass
         "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
         "bm25_topk": text.bm25_topk,                           # ranked keyword retrieval, two-pass corpus stats (new in r4)
-        "bigram_pmi": text.bigram_pmi,                         # PMI collocation extraction, quantized-ln exact, join-free count attach (new late-r4)
-        "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (in-window; both sampling twins — random_sample and deterministic_sample — sit in the tail since r4)
         # --- dedup family ---
         "dedup_exact_text": dedup.dedup_exact_text,           # D1
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # splitmix-in-SQL oracle
@@ -101,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,                              # per-bit-majority SQL oracle
         "range_join_count": relational4.range_join_count,      # banded range join (in-window; embed_cosine_pairs, the documented brute twin of embed_lsh_pairs, moved to the tail)
         "embed_lsh_pairs": dedup.embed_lsh_pairs,              # SQL LSH twin
-        "embed_dedup_clusters": dedup.embed_dedup_clusters,    # SemDeDup-shape semantic clusters (rotated in r4)
         # --- similarity search ---
         "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,                      # SQL IVF twin
@@ -121,7 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
         "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
-        "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (new in r4)
+        "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (back in-window this rotation)
         "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
         "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
         "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
@@ -132,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
         "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
         "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
+        "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
+        "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
+        "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
+        "embed_dedup_clusters": dedup.embed_dedup_clusters,    # SemDeDup clusters (CC machinery in-window via dedup_clusters + crawl_url_clusters; demoted this rotation)
         "quality_score": text.quality_score,                   # (corpus_curation composes quality+lang; demoted late-r4 rotation)
         "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
         "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
