@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
         "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
         "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
+        "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -618,6 +619,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        # bloom-pushdown semi-join: exact result (confirm pass removes the
+        # sketch's false positives), so the oracle is the plain semi-join
+        "bloom_semi_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,

@@ -336,3 +336,72 @@ def json_filter(sf_dir: str):
 
     partials = ds.map_batches(f, batch_format="pandas", batch_size=32768)
     return final_agg(partials, ["event_type"], {"n": "p_n"})
+
+
+def bloom_semi_join(sf_dir: str, capacity: int = 1 << 16, fpp: float = 1e-4):
+    """Customers WITH orders via BLOOM-PUSHDOWN semi-join — the sketch that
+    makes a 100 TB semi-join cheap when even the distinct key set is too
+    big to broadcast exactly:
+
+    1. per-batch bloom partials over ``o_custkey`` (fixed (m, k) geometry,
+       so the uint64 word arrays OR-merge associatively — the same
+       mergeable-sketch contract as the HLL / CMS / histogram family),
+       merged into one filter in a tiny final stage;
+    2. the merged filter (128 KB here; a few GB at 10^10 keys — still
+       broadcastable where the exact key set is not) ships once via
+       ``ray.put``; customers are prefiltered with the vectorized
+       ``contains_batch``;
+    3. survivors get an EXACT confirm so false positives never leak into
+       the result (here against the broadcast exact key set — at scale this
+       is a partitioned hash semi-join that now touches only
+       |build| · (hit_rate + fpp) rows instead of every probe row).
+
+    The result is exact, so the oracle is the plain semi-join SQL; the
+    false-positive path is exercised separately in tests with a deliberately
+    undersized filter. Keys are remixed (splitmix64) before insertion so the
+    double-hashing FPP analysis holds for dense integer keys."""
+    import ray
+
+    from ..state.bloom import BloomFilter, _remix
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity=capacity, fpp=fpp)
+        bf.add_batch(_remix(t["o_custkey"].to_numpy().astype(np.uint64)))
+        return pa.table({"words": pa.array([bf.words.tobytes()], pa.binary())})
+
+    def or_merge(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        blobs = [np.frombuffer(b, dtype=np.uint64) for b in df["words"]]
+        merged = np.bitwise_or.reduce(np.stack(blobs)) if blobs else None
+        return pd.DataFrame({"words": [merged.tobytes()]})
+
+    merged_blob = (
+        orders.map_batches(partial_bloom, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(or_merge, batch_format="pandas", batch_size=None)
+        .take_all()[0]["words"]
+    )
+    bf = BloomFilter(capacity=capacity, fpp=fpp)
+    bf.words = np.frombuffer(merged_blob, dtype=np.uint64).copy()
+    bloom_ref = ray.put(bf)
+    exact_ref = ray.put(_order_custkeys(sf_dir))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        filt: BloomFilter = ray.get(bloom_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        maybe = filt.contains_batch(_remix(ck.astype(np.uint64)))
+        t = t.filter(pa.array(maybe))
+        if t.num_rows == 0:
+            return t
+        # exact confirm on the (few) bloom survivors only
+        keys = ray.get(exact_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == ck))
+
+    return ds.map_batches(f, batch_format="pyarrow")

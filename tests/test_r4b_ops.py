@@ -797,3 +797,44 @@ def test_event_transitions_tie_break_by_event_id(tmp_path):
     assert {(r.from_type, r.to_type): r.n for r in got.itertuples()} == {
         ("a", "b"): 1
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_exact_and_fpp_confirm(tmp_path):
+    """Bloom prefilter + exact confirm == plain semi-join, even with a
+    deliberately undersized filter whose false-positive rate is huge."""
+    from crawl4ai_llm_ray.pipelines import relational as r
+
+    rng = np.random.default_rng(5)
+    custs = np.arange(1000, dtype=np.int64)
+    with_orders = rng.choice(custs, 120, replace=False)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(custs),
+                "c_name": pa.array([f"c{i}" for i in custs], pa.string()),
+                "c_nationkey": pa.array(np.zeros(1000, np.int64)),
+                "c_acctbal": pa.array(np.zeros(1000), pa.float64()),
+                "c_mktsegment": pa.array(["x"] * 1000, pa.string()),
+            }
+        ),
+        f"{tmp_path}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(len(with_orders)), pa.int64()),
+                "o_custkey": pa.array(np.sort(with_orders)),
+                "o_totalprice": pa.array(np.full(len(with_orders), 10.0)),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    want = set(with_orders.tolist())
+    # undersized: capacity 16 for 120 keys -> saturated filter, many FPs —
+    # the confirm pass must still produce the exact answer
+    got_small = _df(r.bloom_semi_join(str(tmp_path), capacity=16, fpp=0.5))
+    assert set(got_small["c_custkey"]) == want
+    # properly sized
+    got = _df(r.bloom_semi_join(str(tmp_path)))
+    assert set(got["c_custkey"]) == want
