@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "cooccur_parts",         # r4: basket pair expansion over lineitem (largest table)
     "heavy_hitters_cms",     # r4: count-min partial sketches + candidate scan
     "global_rank_orders",    # r4: TeraSort range-partitioned exact ranking
+    "weighted_sample_orders",  # late-r4: πps sample, per-batch top-k funnel
+    "event_transitions",     # late-r4: user-partitioned ordered-pair counts
+    "bloom_semi_join",       # late-r4: mergeable-sketch build + broadcast probe
 ]
 
 
