@@ -1199,7 +1199,11 @@ def fuzzy_pairs_blocked(
         )
         if not len(df):
             return empty
-        df = df.sort_values(["blk", "s"], kind="mergesort")
+        # pair DISTINCT strings: repeated rows of one string are exact dups
+        # (dedup_exact_*'s domain), not fuzzy pairs
+        df = df.drop_duplicates(["blk", "s"]).sort_values(
+            ["blk", "s"], kind="mergesort"
+        )
         strs = df["s"].to_numpy()
         blks = df["blk"].to_numpy()
         uniq, starts, counts = np.unique(blks, return_index=True, return_counts=True)

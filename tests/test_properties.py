@@ -72,3 +72,76 @@ def test_shingle_df_cap_and_bucket_cap():
     mh = minhash_lsh_pairs(sf).to_pandas()
     mh_capped = minhash_lsh_pairs(sf, max_bucket=10_000).to_pandas()
     assert set(map(tuple, mh.values)) == set(map(tuple, mh_capped.values))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["b1", "b2", "b3"]),
+            st.text(alphabet="abc", max_size=8),
+        ),
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_fuzzy_pairs_kernel_equals_bruteforce(rows, k):
+    """The blocked-fuzzy-join kernel path (dedupe, closed-form pair ranks,
+    length prune, banded DP) == brute-force per-block O(n²) full-DP
+    reference, for arbitrary blocks/strings/thresholds. Exercises the pure
+    kernel; the Ray stage wiring is covered by the hand-built tests."""
+    import numpy as np
+    import pandas as pd
+
+    from crawl4ai_llm_ray.pipelines.dedup import (
+        _banded_levenshtein,
+        _padded_bytes,
+        _pair_indices,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(dp[j] + 1, nd[j - 1] + 1, dp[j - 1] + (ca != cb)))
+            dp = nd
+        return dp[-1]
+
+    # brute force over distinct strings per block
+    by_block: dict = {}
+    for b, s in rows:
+        by_block.setdefault(b, set()).add(s)
+    want = set()
+    for b, strs in by_block.items():
+        ss = sorted(strs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                d = lev(ss[i], ss[j])
+                if d <= k:
+                    want.add((b, ss[i], ss[j], d))
+
+    # kernel path (mirrors fuzzy_pairs_blocked.pairs without Ray)
+    df = pd.DataFrame(
+        {"blk": [r[0] for r in rows], "s": [r[1] for r in rows]}
+    ).drop_duplicates()
+    got = set()
+    if len(df):
+        df = df.sort_values(["blk", "s"], kind="mergesort")
+        strs = df["s"].to_numpy()
+        blks = df["blk"].to_numpy()
+        _, starts, counts = np.unique(blks, return_index=True, return_counts=True)
+        gid, li, lj = _pair_indices(counts)
+        if len(gid):
+            pi, pj = starts[gid] + li, starts[gid] + lj
+            M, lens = _padded_bytes(pa.array(strs, pa.string()))
+            keep = np.abs(lens[pi] - lens[pj]) <= k
+            pi, pj = pi[keep], pj[keep]
+            if len(pi):
+                dist = _banded_levenshtein(M[pi], lens[pi], M[pj], lens[pj], k)
+                ok = dist <= k
+                got = {
+                    (blks[a], strs[a], strs[b], int(d))
+                    for a, b, d in zip(pi[ok], pj[ok], dist[ok])
+                }
+    assert got == want

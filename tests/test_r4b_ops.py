@@ -838,3 +838,24 @@ def test_bloom_semi_join_exact_and_fpp_confirm(tmp_path):
     # properly sized
     got = _df(r.bloom_semi_join(str(tmp_path)))
     assert set(got["c_custkey"]) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_repeated_strings_dedup(tmp_path):
+    """Repeated rows of one string never emit (x, x) self-pairs."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.dedup import fuzzy_pairs_blocked
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "blk": pa.array(["h"] * 4),
+                "s": pa.array(["abcd", "abcd", "abcd", "abce"]),
+            }
+        )
+    )
+    got = fuzzy_pairs_blocked(ds, text_col="s", block_col="blk").to_pandas()
+    assert {(r.a, r.b, r.dist) for r in got.itertuples()} == {
+        ("abcd", "abce", 1)
+    }
