@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
         "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
         "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
+        "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout, per-file-stats box pruning (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1965,6 +1966,18 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # Z-order box lookup: layout affects only IO pruning, never the
+        # result — the oracle is the plain conjunctive range filter
+        "zorder_lookup": """
+            WITH e AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  AS cents,
+                              epoch_us(o_orderdate) // 86400000000 AS day
+                       FROM orders)
+            SELECT o_orderkey, cents, day FROM e
+            WHERE cents BETWEEN 1000000 AND 2000000
+              AND day BETWEEN 10000 AND 10400
         """,
         # clickstream transition matrix: lead() over the same deterministic
         # (ts, event_id) order the engine sorts by inside each user partition

@@ -1093,3 +1093,63 @@ def event_transitions(sf_dir: str, n_parts: int = 16):
     return partials.repartition(1).map_batches(
         agg, batch_format="pandas", batch_size=None
     )
+
+
+def zorder_lookup(
+    sf_dir: str,
+    lo_cents: int = 10_000_00,
+    hi_cents: int = 20_000_00,
+    lo_day: int = 10_000,
+    hi_day: int = 10_400,
+):
+    """(o_orderkey, cents, day): orders inside a 2-D box (price-cents ×
+    order-day), served from a Z-ORDER clustered layout with per-file
+    column-stats pruning (sources/io.py write_zorder/read_clustered_box) —
+    the multi-column extension of clustered_lookup: a single-key clustering
+    cannot prune a box predicate on two columns, a space-filling-curve sort
+    key can. Pruning is asserted in pytest; correctness is the oracle's
+    plain conjunctive range filter, exact regardless of layout quality."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.io import read_clustered_box, write_zorder
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        day = (
+            t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // US_PER_DAY
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(cents),
+                "day": pa.array(day),
+            }
+        )
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="zorder_orders_")
+    try:
+        if not write_zorder(enc, out, "cents", "day"):
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                }
+            )
+        got, _, _ = read_clustered_box(
+            out,
+            {"cents": (lo_cents, hi_cents), "day": (lo_day, hi_day)},
+            columns=["o_orderkey", "cents", "day"],
+        )
+        return got.materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

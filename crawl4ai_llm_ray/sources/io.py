@@ -233,6 +233,7 @@ def write_clustered(
     key_col: str,
     n_ranges: int = 16,
     sample_stride: int = 1024,
+    stats_cols: tuple = (),
 ):
     """Range-CLUSTERED write: TeraSort-style sampled boundaries over
     ``key_col`` (int64), one key-sorted parquet file per range plus a
@@ -241,6 +242,12 @@ def write_clustered(
     full scan — the storage-side complement of the engine's
     global_rank_orders machinery (same sampler; sample quality affects only
     file-size balance, never correctness).
+
+    ``stats_cols``: extra int64 columns whose per-file (min, max) are also
+    recorded in the manifest — the multi-column pruning hook
+    :func:`read_clustered_box` and the Z-order layout build on (per-file
+    column stats are exactly what Parquet row-group pruning consults; a
+    space-filling-curve sort key is what makes those boxes TIGHT).
 
     Returns the manifest as a list of dicts (driver-safe: one entry per
     range file)."""
@@ -283,14 +290,17 @@ def write_clustered(
         tbl = pa.Table.from_pandas(df, preserve_index=False)
         pq_mod.write_table(tbl, fname)
         k = df[key_col].to_numpy()
-        return pd.DataFrame(
-            {
-                "file": [fname],
-                "kmin": [int(k[0])],
-                "kmax": [int(k[-1])],
-                "rows": [len(df)],
-            }
-        )
+        row = {
+            "file": [fname],
+            "kmin": [int(k[0])],
+            "kmax": [int(k[-1])],
+            "rows": [len(df)],
+        }
+        for c in stats_cols:
+            v = df[c].to_numpy()
+            row[f"{c}_min"] = [int(v.min())]
+            row[f"{c}_max"] = [int(v.max())]
+        return pd.DataFrame(row)
 
     manifest = (
         ds.map_batches(assign, batch_format="pyarrow")
@@ -301,7 +311,10 @@ def write_clustered(
     )
     entries = manifest.to_dict("records")
     with open(os.path.join(path, "MANIFEST.json"), "w") as f:
-        json.dump({"key": key_col, "files": entries}, f)
+        json.dump(
+            {"key": key_col, "stats_cols": list(stats_cols), "files": entries},
+            f,
+        )
     return entries
 
 
@@ -334,6 +347,130 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
     def residual(t: pa.Table) -> pa.Table:
         k = t[key_col].to_numpy()
         keep = (k >= lo) & (k <= hi)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(residual, batch_format="pyarrow"), len(files), n_total
+
+
+def _part1by1(v: "np.ndarray") -> "np.ndarray":
+    """Spread each of the low 16 bits of v into even bit positions (Morton
+    bit-interleave half, vectorized uint64)."""
+    import numpy as np
+
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton2(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Z-order (Morton) interleave of two ≤16-bit bucket vectors → int64."""
+    import numpy as np
+
+    return (_part1by1(x) | (_part1by1(y) << np.uint64(1))).astype(np.int64)
+
+
+def write_zorder(
+    ds,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_ranges: int = 16,
+    bits: int = 10,
+    sample_stride: int = 256,
+):
+    """Z-ORDER clustered write over two int64 columns — the multi-dimensional
+    OPTIMIZE-ZORDER layout (Delta/Iceberg's answer to "range-cluster on ONE
+    key can't serve box predicates on TWO"): each column is quantile-bucketed
+    to ``bits`` bits via sampled boundaries (rank-normalization, so skewed
+    value distributions still fill the curve evenly), the bucket ids are
+    Morton-interleaved into a space-filling-curve key, and the rows are
+    range-clustered on that key with per-file (min, max) stats of BOTH
+    original columns in the manifest. Because the Z-curve keeps 2-D-nearby
+    rows in the same file, the per-file boxes are tight and a box read
+    prunes to O(files overlapping the box). Sampling affects only layout
+    quality, never correctness (reads apply an exact residual filter).
+
+    Returns the manifest entry list (see :func:`write_clustered`)."""
+    import numpy as np
+
+    n_buckets = 1 << bits
+
+    def sample(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": t[col_x].to_numpy()[::sample_stride],
+                "y": t[col_y].to_numpy()[::sample_stride],
+            }
+        )
+
+    samp = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+
+    def bounds(v: np.ndarray) -> np.ndarray:
+        v = np.sort(v)
+        if len(v) < 2:
+            return np.array([], dtype=np.int64)
+        q = (np.arange(1, n_buckets) * len(v)) // n_buckets
+        return np.unique(v[np.minimum(q, len(v) - 1)])
+
+    bx, by = bounds(samp["x"].to_numpy()), bounds(samp["y"].to_numpy())
+
+    def zkey(t: pa.Table) -> pa.Table:
+        x = np.searchsorted(bx, t[col_x].to_numpy(), side="right")
+        y = np.searchsorted(by, t[col_y].to_numpy(), side="right")
+        return t.append_column(
+            "_z", pa.array(morton2(x.astype(np.uint64), y.astype(np.uint64)))
+        )
+
+    return write_clustered(
+        ds.map_batches(zkey, batch_format="pyarrow"),
+        path,
+        "_z",
+        n_ranges=n_ranges,
+        sample_stride=sample_stride,
+        stats_cols=(col_x, col_y),
+    )
+
+
+def read_clustered_box(path: str, preds: dict, columns=None):
+    """Box read over a layout whose manifest carries per-file column stats
+    (:func:`write_clustered` with ``stats_cols`` / :func:`write_zorder`):
+    ``preds`` maps column → (lo, hi) inclusive. Reads ONLY the files whose
+    per-column [min, max] intervals ALL overlap the box, then applies the
+    exact residual filter. Returns (dataset, n_files_read, n_files_total)."""
+    import json
+
+    import numpy as np
+    import ray.data as rd
+
+    with open(os.path.join(path, "MANIFEST.json")) as f:
+        man = json.load(f)
+    for c in preds:
+        if c not in man.get("stats_cols", []):
+            raise ValueError(f"no per-file stats for column {c!r} in manifest")
+    files = [
+        e["file"]
+        for e in man["files"]
+        if all(
+            not (e[f"{c}_max"] < lo or e[f"{c}_min"] > hi)
+            for c, (lo, hi) in preds.items()
+        )
+    ]
+    n_total = len(man["files"])
+    if not files:
+        empty = rd.from_arrow(
+            pa.table({c: pa.array([], pa.int64()) for c in preds})
+        )
+        return empty, 0, n_total
+    ds = rd.read_parquet(files, columns=columns)
+
+    def residual(t: pa.Table) -> pa.Table:
+        keep = np.ones(t.num_rows, dtype=bool)
+        for c, (lo, hi) in preds.items():
+            v = t[c].to_numpy()
+            keep &= (v >= lo) & (v <= hi)
         return t.filter(pa.array(keep))
 
     return ds.map_batches(residual, batch_format="pyarrow"), len(files), n_total

@@ -859,3 +859,73 @@ def test_fuzzy_pairs_repeated_strings_dedup(tmp_path):
     assert {(r.a, r.b, r.dist) for r in got.itertuples()} == {
         ("abcd", "abce", 1)
     }
+
+
+def test_morton2_interleaves_bits():
+    from crawl4ai_llm_ray.sources.io import morton2
+
+    x = np.array([0b1010, 0b1111, 0], np.uint64)
+    y = np.array([0b0101, 0b0000, 0], np.uint64)
+    z = morton2(x, y)
+    # x bits at even positions, y bits at odd
+    assert z[0] == 0b01100110
+    assert z[1] == 0b01010101
+    assert z[2] == 0
+    # locality sanity: adjacent cells differ less than distant ones
+    assert morton2(np.array([3], np.uint64), np.array([3], np.uint64))[0] < \
+           morton2(np.array([200], np.uint64), np.array([200], np.uint64))[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_box_read_prunes_and_is_exact(tmp_path):
+    """Uniform 2-D grid: a small box must read a strict subset of files and
+    return exactly the brute-force filter result."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.sources.io import read_clustered_box, write_zorder
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    x = rng.integers(0, 1000, n).astype(np.int64)
+    y = rng.integers(0, 1000, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+    )
+    out = str(tmp_path / "z")
+    man = write_zorder(ds, out, "x", "y", n_ranges=16)
+    assert len(man) > 4
+    got, n_read, n_total = read_clustered_box(
+        out, {"x": (100, 199), "y": (400, 499)}
+    )
+    gdf = got.to_pandas().sort_values("rid").reset_index(drop=True)
+    mask = (x >= 100) & (x <= 199) & (y >= 400) & (y <= 499)
+    assert set(gdf["rid"]) == set(np.arange(n)[mask])
+    # a 1%-area box over a Z-clustered layout must prune most files
+    assert n_read < n_total
+    assert n_read <= max(2, n_total // 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_clustered_box_requires_stats(tmp_path):
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.sources.io import read_clustered_box, write_clustered
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(np.arange(100, dtype=np.int64)),
+                "v": pa.array(np.arange(100, dtype=np.int64)),
+            }
+        )
+    )
+    out = str(tmp_path / "c")
+    write_clustered(ds, out, "k", n_ranges=4, sample_stride=1)
+    with pytest.raises(ValueError, match="no per-file stats"):
+        read_clustered_box(out, {"v": (0, 10)})
