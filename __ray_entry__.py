@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
         "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
         "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout, per-file-stats box pruning (new late-r4)
+        "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1966,6 +1967,14 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # incremental refresh: the oracle recomputes the same view from
+        # scratch — any base/delta/merge drift fails the value hash
+        "incremental_agg_refresh": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM orders GROUP BY 1
         """,
         # Z-order box lookup: layout affects only IO pruning, never the
         # result — the oracle is the plain conjunctive range filter

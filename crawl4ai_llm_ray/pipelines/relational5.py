@@ -1153,3 +1153,120 @@ def zorder_lookup(
         return got.materialize()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _agg_state_over(ds, n_agg_parts: int = 4):
+    """(o_orderpriority, n, sum_cents) mergeable aggregate state for
+    incremental_agg_refresh: per-batch partials → dimension-sized final sum.
+    Integer cents so base+delta merge is exact and order-free."""
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"o_orderpriority": t["o_orderpriority"].to_pylist(), "c": cents}
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("c", "size"), sum_cents=("c", "sum")
+        )
+        return pa.Table.from_pandas(
+            g.astype({"n": np.int64, "sum_cents": np.int64}),
+            preserve_index=False,
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        return pa.Table.from_pandas(
+            g.astype({"n": np.int64, "sum_cents": np.int64}),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def incremental_agg_refresh(sf_dir: str, delta_mod: int = 10):
+    """(o_orderpriority, n, sum_cents): per-priority order count and exact
+    integer revenue, computed INCREMENTALLY — the materialized-view-refresh
+    shape every 100 TB pipeline runs nightly: the "base" partition of the
+    data (o_orderkey % delta_mod != 0, yesterday's corpus) is aggregated
+    once and its mergeable state PERSISTED as parquet; the refresh
+    aggregates ONLY the "delta" rows (o_orderkey % delta_mod == 0, today's
+    arrivals) and merges state + delta with an integer sum — base rows are
+    never re-read. Correctness gate: the oracle recomputes the SAME final
+    aggregate from scratch over all rows, so any drift between the
+    incremental and full paths fails the hash. Mergeability (exact ints,
+    order-free sums) is what makes the sketch/aggregate family
+    checkpoint-resumable at scale."""
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+    import ray.data as rd
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def split(want_delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (t["o_orderkey"].to_numpy() % delta_mod) == 0
+            return t.filter(pa.array(m if want_delta else ~m))
+
+        return f
+
+    base = ds.map_batches(split(False), batch_format="pyarrow")
+    delta = ds.map_batches(split(True), batch_format="pyarrow")
+
+    state_dir = tempfile.mkdtemp(prefix="agg_state_")
+    state_tbl = pa.Table.from_pandas(
+        _agg_state_over(base).to_pandas(), preserve_index=False
+    )
+    pq_mod.write_table(state_tbl, f"{state_dir}/state.parquet")
+
+    # ---- refresh: persisted state ∪ delta partials → merged view ----
+    state = rd.read_parquet(f"{state_dir}/state.parquet")
+    delta_agg = _agg_state_over(delta)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        return pa.Table.from_pandas(
+            g.astype({"n": np.int64, "sum_cents": np.int64}),
+            preserve_index=False,
+        )
+
+    try:
+        # materialize (the view is dimension-sized) so the scratch state dir
+        # can be removed instead of leaking one temp dir per invocation
+        return (
+            state.union(delta_agg)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)

