@@ -1169,6 +1169,11 @@ def fuzzy_pairs_blocked(
     ops at all (storage CRUD only, storage/json_storage.py); this extends
     the dedup family.
 
+    Distance is over UTF-8 BYTES (one byte = one unit), identical to
+    character Levenshtein for ASCII inputs (URLs, identifiers — this
+    operator's domain and what the DuckDB oracle compares); multi-byte
+    code points count as their byte length.
+
     Scale shape: rows shuffle ONCE by hash(block); inside a partition every
     block is complete, so candidate generation (closed-form within-group
     pair ranks), the |len(a)-len(b)| ≤ k prune, and ONE band-limited DP over

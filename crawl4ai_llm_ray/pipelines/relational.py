@@ -375,7 +375,11 @@ def bloom_semi_join(sf_dir: str, capacity: int = 1 << 16, fpp: float = 1e-4):
         import pandas as pd
 
         blobs = [np.frombuffer(b, dtype=np.uint64) for b in df["words"]]
-        merged = np.bitwise_or.reduce(np.stack(blobs)) if blobs else None
+        merged = (
+            np.bitwise_or.reduce(np.stack(blobs))
+            if blobs
+            else BloomFilter(capacity=capacity, fpp=fpp).words  # empty input
+        )
         return pd.DataFrame({"words": [merged.tobytes()]})
 
     merged_blob = (
