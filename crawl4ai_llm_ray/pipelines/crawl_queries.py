@@ -906,9 +906,12 @@ def crawl_seed_distance(sf_dir: str = ""):
     out = ensure_crawl()
     nodes, edges = _induced_link_graph(out)
     seeds = canonicalize_urls(seed_table(_ENTRY_CFG)["url"]).to_pylist()
-    dist = bfs_distance(
-        edges, nodes, {s for s in seeds if s}, num_partitions=_N_PARTITIONS
-    )
+    # P=2, not _N_PARTITIONS: the entry crawl's induced graph is ~10^2
+    # nodes and each BFS round spawns one aggregator actor per partition —
+    # at this size partition count is pure framework cost (the CC docstring's
+    # measured P=8 -> 54 s vs P=2 -> 27 s effect); at real scale callers pass
+    # a label-table-sized P
+    dist = bfs_distance(edges, nodes, {s for s in seeds if s}, num_partitions=2)
 
     def out_cols(t: pa.Table) -> pa.Table:
         return pa.table({"url": t["node"], "dist": t["dist"]})
@@ -973,7 +976,8 @@ def crawl_url_clusters(sf_dir: str = "", max_dist: int = 2):
         )
 
     edges = pairs.map_batches(expand, batch_format="pyarrow")
-    labels = connected_components(edges, nodes, num_partitions=_N_PARTITIONS)
+    # P=2 for the same tiny-graph aggregator-cost reason as crawl_seed_distance
+    labels = connected_components(edges, nodes, num_partitions=2)
     with_url = labels.join(
         mapping,
         join_type="inner",
