@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
         "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout, per-file-stats box pruning (new late-r4)
         "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
+        "pack_documents": text.pack_documents,                 # sequence packing via distributed prefix-sum scan (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1967,6 +1968,20 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # sequence packing: the distributed scan replayed as a window
+        # running sum over the same doc_id order and token kernel
+        "pack_documents": f"""
+            WITH c AS (SELECT doc_id, len({toks})::BIGINT AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS start
+                  FROM c)
+            SELECT doc_id, n_tokens, (start // 2048)::BIGINT AS bin_id,
+                   (start % 2048)::BIGINT AS bin_pos
+            FROM s
         """,
         # incremental refresh: the oracle recomputes the same view from
         # scratch — any base/delta/merge drift fails the value hash

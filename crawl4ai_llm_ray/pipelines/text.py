@@ -997,3 +997,98 @@ def bigram_pmi(sf_dir: str, k: int = 30, min_count: int = 5, num_partitions: int
         .sort(["pmi_q", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def pack_documents(sf_dir: str, budget: int = 2048, n_ranges: int = 8):
+    """(doc_id, n_tokens, bin_id, bin_pos): SEQUENCE PACKING — lay the corpus
+    out as one contiguous token stream in doc_id order and cut it into
+    fixed-``budget`` training bins: bin_id = global-exclusive-prefix-sum of
+    token counts // budget, bin_pos = that prefix % budget. The example-
+    packing step every pretraining data pipeline runs after curation
+    (GPT/T5-style "pack to sequence length"), and the engine's distributed
+    PREFIX-SUM (scan) primitive — rank machinery (global_rank_orders) orders
+    rows, this CARRIES A VALUE across partitions:
+
+    1. contiguous doc_id ranges from parquet row-group stats (the data is
+       range-partitionable on its dense key; zero data read);
+    2. per-range token totals from one pass (P-sized, to the driver);
+    3. exclusive prefix offsets per range (P-sized driver scan — the only
+       serial step, over P numbers, not rows);
+    4. per-range local cumsum + broadcast offset = exact global scan.
+
+    Deterministic, integer-exact, replayed in SQL as SUM() OVER (ORDER BY
+    doc_id ROWS UNBOUNDED PRECEDING ... 1 PRECEDING)."""
+    import pyarrow.parquet as pq_mod
+
+    md = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema != "doc_id":
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    ds = _read_docs(sf_dir)
+    if lo is None:  # stats missing: one aggregate pass
+        import ray
+
+        lo, hi = ds.min("doc_id"), ds.max("doc_id")
+    span = max(1, int(hi) - int(lo) + 1)
+    width = -(-span // n_ranges)  # ceil
+
+    def counts(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n = pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
+        did = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n,
+                "rp": pa.array(((did - lo) // width).astype(np.int64)),
+            }
+        )
+
+    cnt = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    # per-range totals -> driver prefix scan over P numbers
+    totals = cnt.groupby("rp").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("rp")
+    offs = {}
+    run = 0
+    for rp, tot in zip(totals["rp"], totals["sum(n_tokens)"]):
+        offs[int(rp)] = run
+        run += int(tot)
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "bin_id": pd.Series([], dtype=np.int64),
+                    "bin_pos": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values("doc_id", kind="mergesort")
+        n = df["n_tokens"].to_numpy()
+        start = offs[int(df["rp"].iloc[0])] + np.concatenate(
+            [[0], np.cumsum(n)[:-1]]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "bin_id": (start // budget).astype(np.int64),
+                "bin_pos": (start % budget).astype(np.int64),
+            }
+        )
+
+    return cnt.groupby("rp").map_groups(scan, batch_format="pandas")

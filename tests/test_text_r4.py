@@ -236,3 +236,40 @@ def test_bigram_pmi_ranks_collocations(tmp_path):
         )
         assert r.pmi_q == int(expect)
     assert got["pmi_q"].is_monotonic_decreasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_documents_contiguous_stream(tmp_path):
+    """Bins tile the token stream exactly: starts are the exclusive prefix
+    sums, a doc's bin is its start position // budget, and the range-carry
+    across partitions is exact."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines.text import pack_documents
+
+    texts = ["a " * k for k in (5, 7, 3, 10, 1, 8, 2, 6)]  # token counts
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], np.int64)
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = (
+        pack_documents(str(tmp_path), budget=10, n_ranges=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = np.array([5, 7, 3, 10, 1, 8, 2, 6])
+    start = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (got["n_tokens"].to_numpy() == n).all()
+    assert (got["bin_id"].to_numpy() == start // 10).all()
+    assert (got["bin_pos"].to_numpy() == start % 10).all()
