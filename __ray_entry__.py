@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout, per-file-stats box pruning (new late-r4)
         "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
         "pack_documents": text.pack_documents,                 # sequence packing via distributed prefix-sum scan (new late-r4)
+        "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1968,6 +1969,16 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # RAG chunker: same window geometry via unnest(range(ceil(len/stride)))
+        "chunk_documents": """
+            WITH d AS (SELECT doc_id, text,
+                              unnest(range(CAST(ceil(length(text)/150.0)
+                                                AS BIGINT))) AS k
+                       FROM documents)
+            SELECT doc_id, k::BIGINT AS chunk_id,
+                   substr(text, (k*150+1)::INT, 200) AS chunk_text
+            FROM d
         """,
         # sequence packing: the distributed scan replayed as a window
         # running sum over the same doc_id order and token kernel

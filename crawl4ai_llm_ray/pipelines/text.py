@@ -1092,3 +1092,57 @@ def pack_documents(sf_dir: str, budget: int = 2048, n_ranges: int = 8):
         )
 
     return cnt.groupby("rp").map_groups(scan, batch_format="pandas")
+
+
+def chunk_documents(sf_dir: str, size: int = 200, overlap: int = 50):
+    """(doc_id, chunk_id, chunk_text): overlapping character windows over
+    every document — the RAG-ingestion chunker (stride = size - overlap;
+    chunk k covers [k*stride, k*stride + size)); a document emits
+    ceil(n_chars / stride) chunks, empty documents none. The text sibling of
+    media_chunks' binary chunking.
+
+    Vectorized by CHUNK ORDINAL, not per row: chunk k of every document in
+    the batch is one scalar utf8_slice_codeunits call, so the Python loop is
+    over ≤ ceil(max_len/stride) ordinals per batch (codepoint semantics —
+    matches SQL substr/length exactly, unicode included)."""
+    stride = size - overlap
+    assert stride > 0, "overlap must be smaller than size"
+
+    def chunks(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        n_chunks = -(-lens // stride)  # ceil; 0 for empty docs
+        out_ids, out_k, out_txt = [], [], []
+        max_k = int(n_chunks.max()) if len(n_chunks) else 0
+        for k in range(max_k):
+            sel = n_chunks > k
+            idx = np.nonzero(sel)[0]
+            sliced = pc.utf8_slice_codeunits(
+                text.take(pa.array(idx)), k * stride, k * stride + size
+            )
+            out_ids.append(t["doc_id"].take(pa.array(idx)))
+            out_k.append(pa.array(np.full(len(idx), k, dtype=np.int64)))
+            out_txt.append(sliced)
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], t["doc_id"].type),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]
+                ),
+                "chunk_id": pa.concat_arrays(out_k),
+                "chunk_text": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_txt]
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(chunks, batch_format="pyarrow")

@@ -273,3 +273,42 @@ def test_pack_documents_contiguous_stream(tmp_path):
     assert (got["n_tokens"].to_numpy() == n).all()
     assert (got["bin_id"].to_numpy() == start // 10).all()
     assert (got["bin_pos"].to_numpy() == start % 10).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_documents_windows_and_unicode(tmp_path):
+    from crawl4ai_llm_ray.pipelines.text import chunk_documents
+
+    texts = ["abcdefghij", "", "xy", "é" * 7]  # unicode counted as CHARS
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], np.int64)
+                ),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    got = (
+        chunk_documents(str(tmp_path), size=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    by_doc = {
+        d: list(g["chunk_text"]) for d, g in got.groupby("doc_id")
+    }
+    # stride 3, size 4: windows [0:4],[3:7],[6:10],[9:13]
+    assert by_doc[0] == ["abcd", "defg", "ghij", "j"]
+    assert 1 not in by_doc  # empty doc: no chunks
+    assert by_doc[2] == ["xy"]
+    assert by_doc[3] == ["éééé", "éééé", "é"]  # codepoints, not bytes
+    # overlap reconstruction: dropping the first `overlap` chars of every
+    # non-first chunk rebuilds the document
+    rebuilt = by_doc[0][0] + "".join(c[1:] for c in by_doc[0][1:])
+    assert rebuilt == "abcdefghij"
