@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     ALSO DuckDB-oracle-checked — doc_stats/span_explode via unnest,
         #     metrics/seen_set via full SQL replay of the frontier semantics) ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
-        "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of over the interleaved payload (new in r4; crawl_span_explode, whose flatten machinery this strictly contains, moved to the tail)
+        "pack_documents": text.pack_documents,               # sequence packing: the distributed prefix-sum scan primitive (promoted; crawl_media_context — asof+flatten machinery covered by asof_join + crawl_metrics — moved to the tail)
         "crawl_metrics": crawl_queries.crawl_metrics,          # full accounting replay
         "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
@@ -118,7 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     these same-machinery variants out) ---
         "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4, in-window)
         "cooccur_parts": relational4.cooccur_parts,            # market-basket pair mining, partition-local quadratic expansion + skew cap (new in r4)
-        "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill via distributed range + zeros-union (new in r4)
+        "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout + box pruning (promoted; gapfill_days, whose spine machinery anomaly_days composes in-window, moved to the tail)
         "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
         "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
@@ -134,9 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
         "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
         "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
-        "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout, per-file-stats box pruning (new late-r4)
+        "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of (demoted this rotation: asof_join + crawl_metrics carry the machinery)
         "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
-        "pack_documents": text.pack_documents,                 # sequence packing via distributed prefix-sum scan (new late-r4)
+        "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill (demoted this rotation: anomaly_days composes it in-window)
         "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
