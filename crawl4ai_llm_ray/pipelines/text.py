@@ -1036,9 +1036,16 @@ def pack_documents(sf_dir: str, budget: int = 2048, n_ranges: int = 8):
             hi = st.max if hi is None else max(hi, st.max)
     ds = _read_docs(sf_dir)
     if lo is None:  # stats missing: one aggregate pass
-        import ray
-
         lo, hi = ds.min("doc_id"), ds.max("doc_id")
+    if lo is None or hi is None:  # empty corpus
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "bin_id": pa.array([], pa.int64()),
+                "bin_pos": pa.array([], pa.int64()),
+            }
+        )
     span = max(1, int(hi) - int(lo) + 1)
     width = -(-span // n_ranges)  # ceil
 

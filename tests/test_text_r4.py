@@ -312,3 +312,26 @@ def test_chunk_documents_windows_and_unicode(tmp_path):
     # non-first chunk rebuilds the document
     rebuilt = by_doc[0][0] + "".join(c[1:] for c in by_doc[0][1:])
     assert rebuilt == "abcdefghij"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_and_chunk_empty_corpus(tmp_path):
+    from crawl4ai_llm_ray.pipelines.text import chunk_documents, pack_documents
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    p = pack_documents(str(tmp_path))
+    p = p.to_pandas() if hasattr(p, "to_pandas") else p
+    assert len(p) == 0
+    c = chunk_documents(str(tmp_path)).to_pandas()
+    assert len(c) == 0
