@@ -113,6 +113,13 @@ def bench_drain() -> dict:
             n_partitions=n_partitions,
             fetch_concurrency=fetch_conc,
             batch_size=8192,
+            # size per-shard seen-set state to the corpus (a real deployment
+            # provisions state for its frontier; an undersized cuckoo regrows
+            # by reinserting the shard's whole exact set — measured 10.5x
+            # ingest blowup at GRAFT_BENCH_SCALE=4 before this)
+            expected_urls_per_shard=max(
+                1 << 17, int(120000 * SCALE * 7 * 1.3) // n_partitions
+            ),
         )
         d = time.time() - t0
         shutil.rmtree(out, ignore_errors=True)

@@ -72,31 +72,42 @@ class CuckooFilter:
         """Insert every hash (idempotence is the caller's concern). Returns #inserted.
 
         Raises RuntimeError when the filter is too full to place an item
-        (caller should grow / fall back to bloom+exact)."""
+        (caller should grow / fall back to bloom+exact).
+
+        Vectorized fast path: for each (bucket-choice, slot) pair, every
+        pending item whose target slot is empty is placed in one scatter —
+        first-writer-wins on within-batch bucket collisions via
+        np.unique(return_index). At sane load factors this settles ~all of
+        the batch in 2×bucket_size numpy passes; only items whose both
+        buckets are full fall through to the scalar kickout loop. (This is
+        the frontier-ingest hot path — the original per-item Python loop
+        dominated drain ingest at 4× the bench corpus.)"""
         h = hashes.astype(np.uint64, copy=False)
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._i2(i1, fp)
         buckets = self.buckets
         bs = self.bucket_size
-        n_ins = 0
-        for j in range(len(h)):
-            f = fp[j]
-            placed = False
-            for idx in (i1[j], i2[j]):
-                row = buckets[idx]
-                for s in range(bs):
-                    if row[s] == 0:
-                        row[s] = f
-                        placed = True
-                        break
-                if placed:
+        pending = np.arange(len(h), dtype=np.int64)
+        for cand in (i1, i2):
+            for s in range(bs):
+                if not len(pending):
                     break
-            if not placed:
-                self._kick_insert(int(i1[j]), int(f))
-            n_ins += 1
-        self.count += n_ins
-        return n_ins
+                idx = cand[pending]
+                empty = buckets[idx, s] == 0
+                if not empty.any():
+                    continue
+                rows = pending[empty]
+                u, first = np.unique(idx[empty], return_index=True)
+                winners = rows[first]
+                buckets[u, s] = fp[winners]
+                keep = np.ones(len(pending), dtype=bool)
+                keep[np.searchsorted(pending, winners)] = False
+                pending = pending[keep]
+        for j in pending:  # both buckets full: scalar kickout path
+            self._kick_insert(int(i1[j]), int(fp[j]))
+        self.count += len(h)
+        return len(h)
 
     def _kick_insert(self, idx: int, f: int) -> None:
         rng_state = np.uint64(idx) ^ np.uint64(f)
