@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
         "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill (demoted this rotation: anomaly_days composes it in-window)
         "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
+        "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT via interval-union diff-array + spine scan (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1969,6 +1970,19 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # rolling distinct: the diff-array scan replayed as a spine x events
+        # range join with COUNT(DISTINCT)
+        "rolling_distinct_users": """
+            WITH e AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            sp AS (SELECT unnest(range((SELECT min(day) FROM e),
+                                       (SELECT max(day) FROM e) + 1)) AS day)
+            SELECT sp.day::BIGINT AS day,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users_7d
+            FROM sp LEFT JOIN e ON e.day BETWEEN sp.day - 6 AND sp.day
+            GROUP BY sp.day
         """,
         # RAG chunker: same window geometry via unnest(range(ceil(len/stride)))
         "chunk_documents": """

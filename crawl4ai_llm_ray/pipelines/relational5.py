@@ -1270,3 +1270,104 @@ def incremental_agg_refresh(sf_dir: str, delta_mod: int = 10):
         import shutil
 
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def rolling_distinct_users(sf_dir: str, window_days: int = 7, n_parts: int = 16):
+    """(day, n_users_7d): DISTINCT users active in the trailing
+    ``window_days``-day window, for every day of the corpus span — the
+    rolling-MAU/WAU statistic. Windowed DISTINCT does not decompose into
+    mergeable partials the way counts do; the exact distributed shape is the
+    interval-union + difference-array trick:
+
+    1. per user (partition-complete under user-hash): active days → each day
+       d covers report-days [d, d+W-1] → merge overlapping/adjacent
+       intervals (the activity_islands segmented scan, gap = W);
+    2. each merged interval [a, b] emits TWO rows: (+1 at a), (-1 at b+1) —
+       a user's whole history collapses to 2×islands narrow diffs;
+    3. one dimension-sized sum of diffs per day + a prefix sum over the day
+       spine (the pack_documents scan, here driver-side over a spine-sized
+       vector) = exact distinct count per window. No day ever sees its
+       users' raw ids — only ±1 diffs move.
+
+    SQL twin: spine × events range join with COUNT(DISTINCT user_id)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    bounds = _events_day_bounds(sf_dir)
+    if bounds is None:  # stats missing: one aggregate pass over the ts column
+        lo = ds.min("ts")
+        hi = ds.max("ts")
+        if lo is not None and hi is not None:
+            bounds = (
+                int(pd.Timestamp(lo).value // 1000 // US_PER_DAY),
+                int(pd.Timestamp(hi).value // 1000 // US_PER_DAY),
+            )
+
+    def part(t: pa.Table) -> pa.Table:
+        up = t["user_id"].to_numpy().astype(np.uint64) % np.uint64(n_parts)
+        day = (t["ts"].cast(pa.int64()).to_numpy() // US_PER_DAY).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pa.array(day),
+                "up": pa.array(up.astype(np.int64)),
+            }
+        )
+
+    def diffs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype=np.int64),
+                 "diff": pd.Series([], dtype=np.int64)}
+            )
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        # interval per active day: [d, d + W - 1]; merge per user where the
+        # next start <= previous end + 1  <=>  gap in days < W
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap_break = np.concatenate([[True], (d[1:] - d[:-1]) >= window_days])
+        start = new_user | gap_break
+        sidx = np.nonzero(start)[0]
+        eidx = np.concatenate([sidx[1:] - 1, [len(d) - 1]])
+        a = d[sidx]                      # interval starts (report days)
+        b = d[eidx] + window_days - 1    # interval ends (inclusive)
+        out = pd.DataFrame(
+            {
+                "day": np.concatenate([a, b + 1]),
+                "diff": np.concatenate(
+                    [np.ones(len(a), np.int64), -np.ones(len(b), np.int64)]
+                ),
+            }
+        )
+        return out.groupby("day", as_index=False)["diff"].sum()
+
+    partials = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("up")
+        .map_groups(diffs, batch_format="pandas")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or bounds is None:
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype=np.int64),
+                 "n_users_7d": pd.Series([], dtype=np.int64)}
+            )
+        dmin, dmax = bounds
+        g = df.groupby("day")["diff"].sum()
+        # spine-sized prefix sum (the scan primitive over n_days numbers)
+        days = np.arange(dmin, dmax + 1, dtype=np.int64)
+        vec = np.zeros(len(days) + 1, np.int64)
+        ks = g.index.to_numpy()
+        in_span = (ks >= dmin) & (ks <= dmax + 1)
+        vec[ks[in_span] - dmin] = g.to_numpy()[in_span]
+        # diffs at day > dmax+1 can't exist (b+1 <= dmax+W); starts before
+        # dmin can't exist. Opens whose close lands past the span still
+        # count for every in-span day (close clipped away).
+        run = np.cumsum(vec[:-1])
+        return pd.DataFrame({"day": days, "n_users_7d": run})
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )

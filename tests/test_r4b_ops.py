@@ -970,3 +970,36 @@ def test_incremental_agg_refresh_equals_full_and_uses_delta_only(tmp_path):
     # delta is 1/10 of rows: the refresh aggregate sees only those
     delta_rows = int(((np.arange(n) % 10) == 0).sum())
     assert 0 < delta_rows < n // 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_distinct_users_hand_built(tmp_path):
+    """Window W=3: user 1 active days {0, 5}, user 2 active day {1}.
+    Expected trailing-3-day distinct: d0:1 d1:2 d2:2 d3:1 d4:0 d5:1."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    rows = [(1, 0), (1, 0), (1, 5), (2, 1)]  # (user, day) with a dup event
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    np.array(
+                        [d * 86_400_000_000 for _, d in rows], "datetime64[us]"
+                    )
+                ),
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows), pa.string()),
+                "value": pa.array(np.zeros(len(rows)), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = (
+        _df(r5.rolling_distinct_users(str(tmp_path), window_days=3))
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert got["day"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert got["n_users_7d"].tolist() == [1, 2, 2, 1, 0, 1]
