@@ -250,6 +250,13 @@ def scaling() -> None:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_DRAIN_ONLY="1"
         )
+        # scaling pairs run a 2x corpus by default: after the cuckoo-insert
+        # vectorization the 1x drain finishes in ~5 s at the hi level, and
+        # fixed per-session costs (ray.init, Dataset startup, actor spawn —
+        # ~2 s, identical at both levels, amortized away on any real run)
+        # dominate the ratio. At 2x the engine's scaling is what's measured:
+        # fetch_write alone measures 3.86x at 4x CPUs (BASELINE.md).
+        env.setdefault("GRAFT_BENCH_SCALE", "2")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
