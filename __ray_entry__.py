@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill (demoted this rotation: anomaly_days composes it in-window)
         "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
         "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT via interval-union diff-array + spine scan (new late-r4)
+        "skyline_orders": relational5.skyline_orders,          # Pareto skyline: merge-closed dominance reduction (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1970,6 +1971,19 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # Pareto skyline: the textbook NOT EXISTS strict-dominance predicate
+        "skyline_orders": """
+            WITH e AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  AS cents,
+                              epoch_us(o_orderdate) // 86400000000 AS day
+                       FROM orders)
+            SELECT o_orderkey, cents, day FROM e t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e u
+                WHERE u.cents >= t.cents AND u.day <= t.day
+                  AND (u.cents > t.cents OR u.day < t.day))
         """,
         # rolling distinct: the diff-array scan replayed as a spine x events
         # range join with COUNT(DISTINCT)

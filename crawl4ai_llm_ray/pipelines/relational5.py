@@ -1371,3 +1371,85 @@ def rolling_distinct_users(sf_dir: str, window_days: int = 7, n_parts: int = 16)
     return partials.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None
     )
+
+
+def _skyline_2d(cents: np.ndarray, day: np.ndarray, keys: np.ndarray):
+    """Indices of the 2-D Pareto skyline (maximize cents, minimize day) with
+    deterministic duplicate handling: sort by (cents DESC, day ASC, key ASC)
+    and keep rows strictly below the running day-minimum — plus the first
+    row of each (cents, day) tie group... duplicates of a skyline point are
+    all kept (SQL's NOT EXISTS keeps every non-strictly-dominated row)."""
+    order = np.lexsort((keys, day, -cents))
+    c, d = cents[order], day[order]
+    # running min of day over all STRICTLY-higher-cents rows seen so far
+    keep = np.zeros(len(order), dtype=bool)
+    best_day = np.int64(np.iinfo(np.int64).max)
+    i = 0
+    n = len(order)
+    while i < n:
+        j = i
+        while j < n and c[j] == c[i]:  # cents tie group
+            j += 1
+        gd = d[i:j].min()
+        # survive iff (a) not dominated by any strictly-higher-cents row
+        # (gd < best_day) and (b) min-day within the tie group (same-cents
+        # smaller-day rows dominate); exact duplicates of the min-day point
+        # all survive (strict dominance never holds between equal points)
+        keep[i:j] = (d[i:j] == gd) & (gd < best_day)
+        if gd < best_day:
+            best_day = gd
+        i = j
+    return order[keep]
+
+
+def skyline_orders(sf_dir: str, n_parts: int = 16):
+    """(o_orderkey, cents, day): the Pareto SKYLINE of orders — rows not
+    dominated by any other order in (totalprice: higher is better,
+    orderdate: earlier is better). The dominance-reduction (anti-chain)
+    shape none of the other aggregates cover; multi-criteria winnowing is
+    how curation pipelines pick "best quality AND shortest" exemplars.
+
+    Scale shape: skyline is an IDEMPOTENT, MERGE-CLOSED reduction —
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so each partition
+    computes a local skyline (O(n log n) sort + one linear scan, no O(n²)
+    dominance tests) and the global pass runs the same kernel over the
+    union of local skylines (skyline-sized, typically tiny under any
+    correlated data). The per-cents-tie-group loop iterates over DISTINCT
+    price levels in the skyline candidate set, not rows. SQL twin: the
+    textbook NOT EXISTS strict-dominance predicate."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        day = (
+            t["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // US_PER_DAY
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(cents),
+                "day": pa.array(day),
+            }
+        )
+
+    def local_sky(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "cents": pd.Series([], dtype=np.int64),
+                    "day": pd.Series([], dtype=np.int64),
+                }
+            )
+        idx = _skyline_2d(
+            df["cents"].to_numpy(), df["day"].to_numpy(), df["o_orderkey"].to_numpy()
+        )
+        return df.iloc[idx][["o_orderkey", "cents", "day"]]
+
+    partials = ds.map_batches(encode, batch_format="pyarrow").map_batches(
+        local_sky, batch_format="pandas"
+    )
+    return partials.repartition(1).map_batches(
+        local_sky, batch_format="pandas", batch_size=None
+    )

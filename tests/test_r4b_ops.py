@@ -1003,3 +1003,50 @@ def test_rolling_distinct_users_hand_built(tmp_path):
     )
     assert got["day"].tolist() == [0, 1, 2, 3, 4, 5]
     assert got["n_users_7d"].tolist() == [1, 2, 2, 1, 0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skyline_orders_dominance_and_ties(tmp_path):
+    """Hand-built Pareto set incl. a duplicated skyline point (all copies
+    kept, matching SQL's strict-dominance NOT EXISTS) and a dominated tie."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # (cents, day): skyline = {(500, 5), (300, 2), (100, 1)} — (300, 2) is
+    # duplicated; (300, 7) dominated by (500, 5)? no: 300<500 and 7>5 ->
+    # dominated. (100, 3) dominated by (300, 2).
+    rows = [(500, 5), (300, 2), (300, 2), (100, 1), (300, 7), (100, 3)]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(len(rows), dtype=np.int64)),
+                "o_totalprice": pa.array(
+                    [c / 100.0 for c, _ in rows], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    np.array(
+                        [d * 86_400_000_000 for _, d in rows], "datetime64[us]"
+                    )
+                ),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    got = _df(r5.skyline_orders(str(tmp_path)))
+    assert set(got["o_orderkey"]) == {0, 1, 2, 3}
+    # merge-closure property on random data: skyline(partials) == brute force
+    rng = np.random.default_rng(4)
+    c = rng.integers(0, 50, 300).astype(np.int64)
+    d = rng.integers(0, 50, 300).astype(np.int64)
+    from crawl4ai_llm_ray.pipelines.relational5 import _skyline_2d
+
+    keys = np.arange(300, dtype=np.int64)
+    idx = set(_skyline_2d(c, d, keys))
+    brute = {
+        i
+        for i in range(300)
+        if not any(
+            (c[j] >= c[i] and d[j] <= d[i]) and (c[j] > c[i] or d[j] < d[i])
+            for j in range(300)
+        )
+    }
+    assert idx == brute
