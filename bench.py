@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "weighted_sample_orders",  # late-r4: πps sample, per-batch top-k funnel
     "event_transitions",     # late-r4: user-partitioned ordered-pair counts
     "bloom_semi_join",       # late-r4: mergeable-sketch build + broadcast probe
+    "pack_documents",        # late-r4: distributed prefix-sum scan
+    "rolling_distinct_users",  # late-r4: interval-union diff-array window distinct
+    "skyline_orders",        # late-r4: merge-closed Pareto reduction
 ]
 
 
