@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
         "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT via interval-union diff-array + spine scan (new late-r4)
         "skyline_orders": relational5.skyline_orders,          # Pareto skyline: merge-closed dominance reduction (new late-r4)
+        "join_size_estimate": relational5.join_size_estimate,  # AMS/CMS join-size estimation, sketch inner product vs exact (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
@@ -1971,6 +1972,23 @@ def oracle_sql() -> dict[str, str]:
                    round(mn + b50 * (mx - mn) / 1024, 4) AS p50_hist,
                    round(mn + b90 * (mx - mn) / 1024, 4) AS p90_hist
             FROM p JOIN mm USING (o_orderpriority)
+        """,
+        # CMS join-size estimate: same multiply-shift sketch as
+        # heavy_hitters_cms, inner product per row, min over rows; the
+        # exact self-join size is sum of per-key count squares
+        "join_size_estimate": f"""
+            WITH seeds AS (SELECT r, CASE r {cms_seed_cases} END AS seed
+                           FROM (SELECT unnest(range({cms_depth})) AS r)),
+            h AS (SELECT e.user_id, s.r,
+                         (((e.user_id + 1)::HUGEINT * s.seed)
+                          % {2**64}::HUGEINT) // {2**relational5.CMS_SHIFT}::HUGEINT AS col
+                  FROM events e CROSS JOIN seeds s),
+            cnt AS (SELECT r, col, count(*)::BIGINT AS n FROM h GROUP BY 1, 2),
+            ip AS (SELECT r, sum(n * n)::BIGINT AS dot FROM cnt GROUP BY r),
+            ex AS (SELECT sum(c * c)::BIGINT AS exact_pairs FROM
+                   (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id))
+            SELECT (SELECT min(dot) FROM ip)::BIGINT AS est_pairs,
+                   (SELECT exact_pairs FROM ex) AS exact_pairs
         """,
         # Pareto skyline: the textbook NOT EXISTS strict-dominance predicate
         "skyline_orders": """

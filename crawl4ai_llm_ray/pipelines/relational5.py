@@ -1453,3 +1453,89 @@ def skyline_orders(sf_dir: str, n_parts: int = 16):
     return partials.repartition(1).map_batches(
         local_sky, batch_format="pandas", batch_size=None
     )
+
+
+def join_size_estimate(sf_dir: str, n_parts: int = 16):
+    """One row (est_pairs, exact_pairs): predicted vs true size of the
+    events-on-user_id SELF-join — the sketch-algebra primitive a distributed
+    planner runs BEFORE committing to a shuffle join: the count-min inner
+    product ``min over rows r of Σ_col cnt[r,col]²`` upper-bound-estimates
+    Σ_k f(k)² (AMS/CMS join-size estimation, Alon-Matias-Szegedy '96 /
+    Cormode-Muthukrishnan '05) from two mergeable 4×256 sketches without
+    touching either side's raw keys. exact_pairs = Σ_k count(k)² computed
+    the partitioned way for the verdict; at 10^9 keys a planner has only
+    the sketch.
+
+    Both numbers are integer-exact and SQL-replayed (same multiply-shift
+    hashes as heavy_hitters_cms), so the driver hash-checks the ESTIMATE
+    itself, not just the exact count."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        rows, cols, cnts = [], [], []
+        for r, seed in enumerate(CMS_SEEDS):
+            bc = np.bincount(_cms_cols(u, seed), minlength=CMS_WIDTH)
+            nz = np.nonzero(bc)[0]
+            rows.append(np.full(len(nz), r, dtype=np.int64))
+            cols.append(nz.astype(np.int64))
+            cnts.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rows)),
+                "col": pa.array(np.concatenate(cols)),
+                "n": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby(["r", "col"])
+        .sum("n")
+        .to_pandas()  # <= depth*width rows — driver-safe by construction
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        df = pd.DataFrame({"user_id": u})
+        g = df.groupby("user_id", as_index=False).size()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy()),
+                "up": pa.array(
+                    (g["user_id"].to_numpy().astype(np.uint64) % n_parts).astype(
+                        np.int64
+                    )
+                ),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def sq_per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"sq": pd.Series([], dtype=np.int64)})
+        tot = df.groupby("user_id")["n"].sum().to_numpy()
+        return pd.DataFrame({"sq": np.array([(tot * tot).sum()], np.int64)})
+
+    exact_parts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("up")
+        .map_groups(sq_per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    exact = int(exact_parts["sq"].sum()) if len(exact_parts) else 0
+
+    if len(merged):
+        counters = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        counters[merged["r"].to_numpy(), merged["col"].to_numpy()] = merged[
+            "sum(n)"
+        ].to_numpy()
+        est = int((counters * counters).sum(axis=1).min())
+    else:
+        est = 0
+    return pa.table(
+        {
+            "est_pairs": pa.array([est], pa.int64()),
+            "exact_pairs": pa.array([exact], pa.int64()),
+        }
+    )

@@ -1050,3 +1050,34 @@ def test_skyline_orders_dominance_and_ties(tmp_path):
         )
     }
     assert idx == brute
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_size_estimate_bounds(tmp_path):
+    """CMS inner product never underestimates and is tight for a small key
+    set; exact = sum of per-key count squares."""
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+
+    # counts: user 1 -> 3 events, user 2 -> 2, user 3 -> 1: exact = 9+4+1
+    users = [1, 1, 1, 2, 2, 3]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(users)), pa.int64()),
+                "ts": pa.array(
+                    np.arange(len(users)).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["x"] * len(users), pa.string()),
+                "value": pa.array(np.zeros(len(users)), pa.float64()),
+                "props": pa.array(["{}"] * len(users), pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = _df(r5.join_size_estimate(str(tmp_path)))
+    exact = int(got["exact_pairs"].iloc[0])
+    est = int(got["est_pairs"].iloc[0])
+    assert exact == 14
+    assert est >= exact  # CMS one-sided error
+    assert est == 14     # 3 keys, 256 cols: no collisions -> tight
