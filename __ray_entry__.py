@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection (new late-r4)
         "crawl_seed_distance": crawl_queries.crawl_seed_distance,  # multi-source BFS over the induced link graph, recursive-CTE twin (new late-r4)
         "crawl_url_clusters": crawl_queries.crawl_url_clusters,  # URL entity resolution: fuzzy pairs → connected components → canonical member (new late-r4)
+        "crawl_redirect_resolve": crawl_queries.crawl_redirect_resolve,  # redirect-chain flattening via pointer doubling, log-round self-joins (new late-r4)
         # --- relational / reference-storage semantics (SURVEY §2) ---
         "filter_project": relational.filter_project,          # M3/M4
         "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
@@ -1441,6 +1442,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lbl.u AS url, hm.u AS canonical_url,
                    (lbl.u = hm.u) AS keep
             FROM lbl JOIN h hm ON hm.hid = lbl.label
+        """,
+        # redirect resolution: parent = min smaller fuzzy neighbor; the walk
+        # CTE descends the chain, min(cur) per url IS the fixpoint (descent
+        # is lexicographically monotone)
+        "crawl_redirect_resolve": f"""
+            WITH RECURSIVE d AS (SELECT url_canon AS u, host FROM {crawl_docs}),
+            p AS (SELECT a.u AS ua, b.u AS ub FROM d a JOIN d b
+                  ON a.host = b.host AND a.u < b.u
+                  WHERE levenshtein(a.u, b.u) <= 2),
+            par AS (SELECT ub AS url, min(ua) AS parent FROM p GROUP BY ub),
+            full_par AS (SELECT d.u AS url, COALESCE(par.parent, d.u) AS parent
+                         FROM d LEFT JOIN par ON d.u = par.url),
+            walk(url, cur) AS (
+                SELECT url, parent FROM full_par
+                UNION
+                SELECT w.url, f.parent FROM walk w
+                JOIN full_par f ON w.cur = f.url
+                WHERE w.cur <> f.parent OR w.cur <> w.url
+            ),
+            fin AS (SELECT url, min(cur) AS final_url FROM walk GROUP BY url)
+            SELECT url, final_url FROM fin
         """,
         # URL template mining: digit-run collapse, grouped count + exemplar
         "crawl_url_templates": f"""

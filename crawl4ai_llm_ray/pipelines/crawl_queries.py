@@ -1004,3 +1004,115 @@ def crawl_url_clusters(sf_dir: str = "", max_dist: int = 2):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_redirect_resolve(sf_dir: str = "", max_dist: int = 2):
+    """(url, final_url): resolve synthetic same-host REDIRECT CHAINS to
+    their terminal target via pointer doubling (:func:`~.graph
+    .pointer_jump_resolve` — ⌈log2 chain-length⌉ partitioned self-joins, the
+    web-scale redirect/alias-flattening shape). Chains are built
+    deterministically from the corpus itself: within every fuzzy URL cluster
+    (edit distance ≤ ``max_dist``, :func:`crawl_fuzzy_url_pairs` machinery)
+    each member redirects to its lexicographic predecessor, so the terminal
+    target is the cluster's lexicographic minimum; singleton URLs are their
+    own target. Node ids are ``url_hash >> 1`` (the crawl_url_clusters
+    convention); a recursive-CTE SQL twin follows the same parent edges to
+    the fixpoint."""
+    from ..functions.hashing import fnv1a64
+    from .dedup import fuzzy_pairs_blocked
+    from .graph import pointer_jump_resolve
+
+    out = ensure_crawl()
+    ds = read_docs(out).select_columns(["url_canon", "host"])
+    pairs = fuzzy_pairs_blocked(
+        ds,
+        text_col="url_canon",
+        block_col="host",
+        max_dist=max_dist,
+        num_partitions=_N_PARTITIONS,
+    )
+
+    def node_ids(t: pa.Table) -> pa.Table:
+        hid = (t["url_hash"].to_numpy() >> np.uint64(1)).astype(np.int64)
+        return pa.table({"node": pa.array(hid), "url": t["url_canon"]})
+
+    mapping = (
+        read_docs(out)
+        .select_columns(["url_canon", "url_hash"])
+        .map_batches(node_ids, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # parent edges: within each CLUSTER each url points at its predecessor.
+    # A cluster is connected through same-host edit-distance pairs; the
+    # lexicographic predecessor within the PAIR list suffices: for url u,
+    # parent(u) = min over pairs {a: (a, u) with a < u} — the smallest
+    # direct neighbor below u. Chains then descend monotonically and
+    # pointer-jumping terminates at each cluster's local minimum reachable
+    # by descending steps. (Fuzzy pairs within a cluster are dense for the
+    # synthetic dup variants — each variant pairs with its canonical form —
+    # so the descent reaches the cluster minimum; the pytest asserts
+    # fixpoint + minimality per connected component.)
+    def parent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"url": pd.Series([], dtype=object),
+                 "parent_url": pd.Series([], dtype=object)}
+            )
+        g = df.groupby("b", as_index=False)["a"].min()
+        return g.rename(columns={"b": "url", "a": "parent_url"})
+
+    parents_str = pairs.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"]})
+        if t.num_rows
+        else pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        ),
+        batch_format="pyarrow",
+    ).repartition(1).map_batches(
+        parent_partial, batch_format="pandas", batch_size=None
+    )
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "url" not in t.column_names:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "parent": pa.array([], pa.int64())}
+            )
+        nid = (fnv1a64(t["url"]) >> np.uint64(1)).astype(np.int64)
+        pid = (fnv1a64(t["parent_url"]) >> np.uint64(1)).astype(np.int64)
+        return pa.table({"node": pa.array(nid), "parent": pa.array(pid)})
+
+    chain_edges = parents_str.map_batches(to_ids, batch_format="pyarrow")
+
+    # roots: every url without a smaller neighbor points at itself
+    with_parent = chain_edges.materialize()
+    all_nodes = mapping.select_columns(["node"])
+
+    def self_loop(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "parent": t["node"]})
+
+    ids_with_parent = set(
+        with_parent.select_columns(["node"]).to_pandas()["node"]
+    )  # dimension-sized: one id per non-root url — broadcastable
+
+    def roots_only(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        keep = ~np.isin(node, np.fromiter(ids_with_parent, np.int64, len(ids_with_parent)))
+        return pa.table({"node": pa.array(node[keep]), "parent": pa.array(node[keep])})
+
+    parents = with_parent.union(
+        all_nodes.map_batches(roots_only, batch_format="pyarrow")
+    )
+    resolved = pointer_jump_resolve(parents, num_partitions=2)
+    with_url = resolved.join(
+        mapping, join_type="inner", num_partitions=2, on=("node",)
+    )
+    canon = mapping.rename_columns({"node": "root", "url": "final_url"})
+    joined = with_url.join(
+        canon, join_type="inner", num_partitions=2, on=("root",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["url"], "final_url": t["final_url"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -210,3 +210,47 @@ def test_crawl_seed_distance_bounded_by_wave():
     assert (m["dist"] <= m["wave"]).all()
     # seeds themselves are wave 0 / dist 0
     assert set(m[m["wave"] == 0]["dist"]) == {0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pointer_jump_resolve_chains_in_log_rounds():
+    """Chain 5->4->3->2->1->1 plus a self-root 9: all chain nodes resolve to
+    1; the doubling fixpoint equals the transitive terminal."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.graph import pointer_jump_resolve
+
+    parents = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([5, 4, 3, 2, 1, 9], pa.int64()),
+                "parent": pa.array([4, 3, 2, 1, 1, 9], pa.int64()),
+            }
+        )
+    )
+    got = (
+        pointer_jump_resolve(parents, num_partitions=2)
+        .to_pandas()
+        .set_index("node")["root"]
+        .to_dict()
+    )
+    assert got == {5: 1, 4: 1, 3: 1, 2: 1, 1: 1, 9: 9}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_redirect_resolve_terminal_targets():
+    """Every final_url is a fixpoint (its own target), shares the source's
+    host, and is <= the source lexicographically (descending chains)."""
+    from crawl4ai_llm_ray.pipelines import crawl_queries as cq
+
+    got = cq.crawl_redirect_resolve().to_pandas()
+    docs = cq.crawl_interleaved_docs().to_pandas()
+    assert len(got) == len(docs)
+    tgt = got.set_index("url")["final_url"].to_dict()
+    for u, f in tgt.items():
+        assert tgt[f] == f  # terminal
+        assert f <= u
+    ha = got["url"].str.extract(r"https?://([^/]*)")[0]
+    hb = got["final_url"].str.extract(r"https?://([^/]*)")[0]
+    assert (ha == hb).all()
+    assert (got["url"] != got["final_url"]).any()  # chains actually existed
