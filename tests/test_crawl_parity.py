@@ -5,6 +5,7 @@ and resume from checkpoint must be equivalent to an uninterrupted run."""
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -266,3 +267,47 @@ def test_incremental_crawl_extra_seeds(ray_session, tmp_path):
     with _pytest.raises(ValueError, match="extra_seed_urls"):
         run_crawl(CFG, str(tmp_path / "fresh"), n_partitions=NPART,
                   extra_seed_urls=["http://h000.test/p/0"])
+
+
+def test_resume_discards_partial_wave_output(ray_session, tmp_path, golden):
+    """Hard-crash window: a wave dir committed AFTER the last checkpoint
+    (manifest still says next_wave == that wave) plus a stale .tmp_ dir must
+    both be discarded on resume and the wave re-run — final output byte-
+    equal to the golden crawl, no garbage rows surviving."""
+    import pyarrow.parquet as pq_mod
+
+    out = str(tmp_path / "crash_out")
+    run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        max_waves=2,
+        expected_urls_per_shard=2048,
+    )
+    docs_dir = os.path.join(out, "docs")
+    # simulate: crash happened mid-wave-2 — one garbage "committed" wave dir
+    # (e.g. from a run whose manifest write never landed) + a torn tmp dir
+    garbage = os.path.join(docs_dir, "wave_00002")
+    os.makedirs(garbage, exist_ok=True)
+    pq_mod.write_table(
+        pa.table({"doc_id": pa.array(["GARBAGE"]), "url_canon": pa.array(["x"])}),
+        os.path.join(garbage, "part-0.parquet"),
+    )
+    os.makedirs(os.path.join(docs_dir, ".tmp_torn"), exist_ok=True)
+
+    full = run_crawl(
+        CFG,
+        out,
+        n_partitions=NPART,
+        fetch_concurrency=2,
+        resume=True,
+        expected_urls_per_shard=2048,
+    )
+    assert full.n_docs == len(golden["docs"])
+    assert full.seen_hashes.tolist() == golden["seen"]
+    docs = _engine_docs(out)
+    assert "x" not in docs and len(docs) == len(golden["docs"])
+    for url, gspans in golden["docs"].items():
+        assert docs[url] == gspans
+    assert not os.path.exists(os.path.join(docs_dir, ".tmp_torn"))
