@@ -105,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_count": relational4.range_join_count,      # banded range join (in-window; embed_cosine_pairs, the documented brute twin of embed_lsh_pairs, moved to the tail)
         "embed_lsh_pairs": dedup.embed_lsh_pairs,              # SQL LSH twin
         # --- similarity search ---
-        "ann_topk": ann.ann_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,                      # SQL IVF twin
         "kmeans_embed": ann.kmeans_embed,                      # exact fixed-point Lloyd's, unrolled-SQL oracle (new in r4; ann_topk_multi and distinct_count moved to the tail)
         # --- multimodal (stubbed decode, real plumbing) ---
@@ -118,10 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     embed_dedup_clusters / extract_products INTO the window and
         #     these same-machinery variants out) ---
         "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4, in-window)
-        "cooccur_parts": relational4.cooccur_parts,            # market-basket pair mining, partition-local quadratic expansion + skew cap (new in r4)
         "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout + box pruning (promoted; gapfill_days, whose spine machinery anomaly_days composes in-window, moved to the tail)
-        "heavy_hitters_cms": relational5.heavy_hitters_cms,    # count-min-sketch top-k, SQL-replayed multiply-shift hashes (new in r4)
-        "mode_per_group": relational5.mode_per_group,          # argmax-of-counts grouped mode (new in r4)
+        "skyline_orders": relational5.skyline_orders,          # Pareto dominance reduction — no sibling covers it (promoted this rotation)
+        "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT, interval-union diff arrays (promoted this rotation)
+        "weighted_sample_orders": relational5.weighted_sample_orders,  # πps weighted sampling — the sampling family's in-window representative (promoted this rotation)
+        "join_size_estimate": relational5.join_size_estimate,  # AMS/CMS sketch algebra + exact verify (promoted; heavy_hitters_cms shares the sketch build, tail)
         "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
         "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (back in-window this rotation)
         "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
@@ -132,20 +132,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
         "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
         "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
-        "weighted_sample_orders": relational5.weighted_sample_orders,  # πps sequential-Poisson weighted sample, IEEE-exact key (new late-r4)
         "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
         "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
         "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of (demoted this rotation: asof_join + crawl_metrics carry the machinery)
         "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
         "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill (demoted this rotation: anomaly_days composes it in-window)
         "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
-        "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT via interval-union diff-array + spine scan (new late-r4)
-        "skyline_orders": relational5.skyline_orders,          # Pareto skyline: merge-closed dominance reduction (new late-r4)
-        "join_size_estimate": relational5.join_size_estimate,  # AMS/CMS join-size estimation, sketch inner product vs exact (new late-r4)
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
         "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
         "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
         "embed_dedup_clusters": dedup.embed_dedup_clusters,    # SemDeDup clusters (CC machinery in-window via dedup_clusters + crawl_url_clusters; demoted this rotation)
+        "ann_topk": ann.ann_topk,                              # brute ANN baseline (ann_ivf_topk in-window carries the scoring machinery; recall-tested; demoted this rotation)
+        "cooccur_parts": relational4.cooccur_parts,            # basket pair mining (crawl_fuzzy_url_pairs in-window carries partition-local pair expansion + skew cap; demoted this rotation)
+        "mode_per_group": relational5.mode_per_group,          # grouped mode (argmax machinery; demoted this rotation)
+        "heavy_hitters_cms": relational5.heavy_hitters_cms,    # CMS top-k (join_size_estimate in-window carries the same sketch build + inner-product algebra; demoted this rotation)
         "quality_score": text.quality_score,                   # (corpus_curation composes quality+lang; demoted late-r4 rotation)
         "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
         "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
