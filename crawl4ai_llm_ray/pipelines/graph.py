@@ -483,34 +483,36 @@ def pointer_jump_resolve(parents, num_partitions: int = 4):
     connected_components, bfs_distance) but with a LOGARITHMIC round bound
     instead of diameter.
 
-    ``parents``: Dataset (node:int64, parent:int64). Fixpoint: the summed
-    parent-id limbs stop changing (parents only move toward roots —
-    monotone along each chain — and self-join of a fixed point is itself).
-    Integer-exact; recursive-CTE SQL twin."""
-    import pyarrow.compute as pc
+    ``parents``: Dataset (node:int64, parent:int64). Rounds are bounded by
+    the PROVABLE ⌈log2 n⌉ + 1 (a chain is at most n long and doubling
+    halves the remaining distance each round; 34 rounds covers 10^10
+    nodes), with an EXACT early exit — the per-round count of rows whose
+    parent actually moved. A sum/checksum fixpoint test would be wrong
+    here: parent VALUES are hash ids, not monotone along a chain, so a
+    swap could alias the sums (unlike connected_components' min-labels,
+    which are monotone). Integer-exact; recursive-CTE SQL twin."""
+    import math
 
-    def checksum(ds) -> tuple:
-        M = np.int64((1 << 21) - 1)
+    cur = parents.materialize()
+    n = cur.count()
+    if n == 0:
+        return cur
+    rounds = max(1, math.ceil(math.log2(max(2, n))) + 1)
+    for _ in range(rounds):
+        # parent' = parent[parent]: join cur (as child->p) with cur (as p->gp)
+        import pyarrow.compute as pc
 
-        def limbs(t: pa.Table) -> pa.Table:
-            lab = t["parent"].to_numpy()
+        def hop_cols(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "hi": pa.array(lab >> np.int64(42)),
-                    "mid": pa.array((lab >> np.int64(21)) & M),
-                    "lo": pa.array(lab & M),
+                    "node": t["node"],
+                    "parent": t["gp"],
+                    "changed": pc.cast(
+                        pc.not_equal(t["parent"], t["gp"]), pa.int64()
+                    ),
                 }
             )
 
-        part = ds.map_batches(limbs, batch_format="pyarrow")
-        return (part.sum("hi"), part.sum("mid"), part.sum("lo"))
-
-    cur = parents.materialize()
-    if cur.count() == 0:
-        return cur
-    prev_sum = checksum(cur)
-    while True:
-        # parent' = parent[parent]: join cur (as child->p) with cur (as p->gp)
         hop = (
             cur.join(
                 cur.rename_columns({"node": "p", "parent": "gp"}),
@@ -519,15 +521,13 @@ def pointer_jump_resolve(parents, num_partitions: int = 4):
                 on=("parent",),
                 right_on=("p",),
             )
-            .select_columns(["node", "gp"])
-            .rename_columns({"gp": "parent"})
+            .map_batches(hop_cols, batch_format="pyarrow")
             .materialize()
         )
-        new_sum = checksum(hop)
-        cur = hop
-        if new_sum == prev_sum:
+        n_changed = hop.sum("changed")
+        cur = hop.select_columns(["node", "parent"])
+        if not n_changed:  # EXACT early exit: zero rows actually moved
             break
-        prev_sum = new_sum
 
     def out(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "root": t["parent"]})
