@@ -417,12 +417,33 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
         d[[i for i, u in enumerate(node) if u in srcs]] = 0
         return pa.table({"node": t["node"], "dist": pa.array(d)})
 
+    def checksum(ds) -> tuple:
+        """Overflow-safe monotone fixpoint metric (the connected_components
+        limb trick): distances are non-increasing ints, so the true sum is
+        strictly decreasing until the fixpoint — but with the 2^40
+        unreached sentinel a plain sum("dist") overflows int64 beyond ~2^23
+        unreached nodes. 21-bit limb sums represent the exact total."""
+        M = np.int64((1 << 21) - 1)
+
+        def limbs(t: pa.Table) -> pa.Table:
+            d = t["dist"].to_numpy()
+            return pa.table(
+                {
+                    "hi": pa.array(d >> np.int64(42)),
+                    "mid": pa.array((d >> np.int64(21)) & M),
+                    "lo": pa.array(d & M),
+                }
+            )
+
+        part = ds.map_batches(limbs, batch_format="pyarrow")
+        return (part.sum("hi"), part.sum("mid"), part.sum("lo"))
+
     dist = nodes.map_batches(init, batch_format="pyarrow").materialize()
     edges = edges.materialize()
     if edges.count() == 0:
         prev = dist
     else:
-        prev_sum = dist.sum("dist")
+        prev_sum = checksum(dist)
         while True:
             import pyarrow.compute as pc
 
@@ -450,7 +471,7 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
                 .rename_columns({"min(dist)": "dist"})
                 .materialize()
             )
-            new_sum = merged.sum("dist")
+            new_sum = checksum(merged)
             dist = merged
             if new_sum == prev_sum:
                 prev = merged
