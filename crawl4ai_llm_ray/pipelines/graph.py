@@ -518,22 +518,22 @@ def pointer_jump_resolve(parents, num_partitions: int = 4):
     n = cur.count()
     if n == 0:
         return cur
+    import pyarrow.compute as pc
+
+    def hop_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "parent": t["gp"],
+                "changed": pc.cast(
+                    pc.not_equal(t["parent"], t["gp"]), pa.int64()
+                ),
+            }
+        )
+
     rounds = max(1, math.ceil(math.log2(max(2, n))) + 1)
     for _ in range(rounds):
         # parent' = parent[parent]: join cur (as child->p) with cur (as p->gp)
-        import pyarrow.compute as pc
-
-        def hop_cols(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "parent": t["gp"],
-                    "changed": pc.cast(
-                        pc.not_equal(t["parent"], t["gp"]), pa.int64()
-                    ),
-                }
-            )
-
         hop = (
             cur.join(
                 cur.rename_columns({"node": "p", "parent": "gp"}),
