@@ -1091,13 +1091,23 @@ def crawl_redirect_resolve(sf_dir: str = "", max_dist: int = 2):
     def self_loop(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "parent": t["node"]})
 
-    ids_with_parent = set(
-        with_parent.select_columns(["node"]).to_pandas()["node"]
-    )  # dimension-sized: one id per non-root url — broadcastable
+    # one id per non-root url — dimension-sized; sorted ONCE on the driver so
+    # each batch's membership test is one vectorized searchsorted, not a
+    # per-batch set→array conversion
+    ids_with_parent = np.sort(
+        with_parent.select_columns(["node"]).to_pandas()["node"].to_numpy()
+    )
 
     def roots_only(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy()
-        keep = ~np.isin(node, np.fromiter(ids_with_parent, np.int64, len(ids_with_parent)))
+        pos = np.searchsorted(ids_with_parent, node)
+        pos_c = np.clip(pos, 0, max(0, len(ids_with_parent) - 1))
+        hit = (
+            (ids_with_parent[pos_c] == node)
+            if len(ids_with_parent)
+            else np.zeros(len(node), dtype=bool)
+        )
+        keep = ~hit
         return pa.table({"node": pa.array(node[keep]), "parent": pa.array(node[keep])})
 
     parents = with_parent.union(

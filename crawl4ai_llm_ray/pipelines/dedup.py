@@ -874,27 +874,7 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "label": t["node"]})
 
-    def checksum(ds) -> tuple:
-        """Overflow-safe monotone fixpoint metric: the true label sum split
-        into 21-bit limbs (label = hi·2^42 + mid·2^21 + lo, each limb sum
-        ≤ n·2^21 — no int64 overflow below n = 2^42 rows). The true sum is
-        a bijection of the limb-sum triple, so triple-unchanged ⟺
-        sum-unchanged; a plain sum("label") overflows once labels are
-        64-bit hashes (crawl_url_clusters) rather than small ids."""
-        M = np.int64((1 << 21) - 1)
-
-        def limbs(t: pa.Table) -> pa.Table:
-            lab = t["label"].to_numpy()
-            return pa.table(
-                {
-                    "hi": pa.array(lab >> np.int64(42)),
-                    "mid": pa.array((lab >> np.int64(21)) & M),
-                    "lo": pa.array(lab & M),
-                }
-            )
-
-        part = ds.map_batches(limbs, batch_format="pyarrow")
-        return (part.sum("hi"), part.sum("mid"), part.sum("lo"))
+    from .graph import _limb_checksum
 
     labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
     edges = edges.materialize()
@@ -902,7 +882,7 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
         return labels
     if num_partitions is None:
         num_partitions = max(2, min(64, labels.count() // 500_000))
-    prev_sum = checksum(labels)
+    prev_sum = _limb_checksum(labels, "label")
     while True:
         msgs = edges.join(
             labels,
@@ -918,7 +898,7 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
             .rename_columns({"min(label)": "label"})
             .materialize()
         )
-        new_sum = checksum(merged)
+        new_sum = _limb_checksum(merged, "label")
         labels = merged
         if new_sum == prev_sum:
             return labels
@@ -1159,7 +1139,7 @@ def fuzzy_pairs_blocked(
     text_col: str,
     block_col: str,
     max_dist: int = 2,
-    max_block: int = 512,
+    max_block: int | None = None,
     num_partitions: int = 16,
 ):
     """(a, b, dist): every within-block pair of distinct strings with edit
@@ -1177,11 +1157,12 @@ def fuzzy_pairs_blocked(
     Scale shape: rows shuffle ONCE by hash(block); inside a partition every
     block is complete, so candidate generation (closed-form within-group
     pair ranks), the |len(a)-len(b)| ≤ k prune, and ONE band-limited DP over
-    all surviving pairs are partition-local and fully vectorized. Blocks
-    larger than ``max_block`` are truncated to their lexicographically first
-    ``max_block`` members (deterministic, logged) — the same skew cap
-    contract as minhash's max_bucket: a block that big is a crawler trap /
-    degenerate key, and candidate pairs grow O(n²)."""
+    all surviving pairs are partition-local and fully vectorized.
+    ``max_block`` (OPT-IN, default None — exactly minhash's max_bucket
+    contract: a cap silently changes the result, so oracle-paired callers
+    leave it off) truncates oversized blocks to their lexicographically
+    first ``max_block`` members (deterministic, logged) — a block that big
+    is a crawler trap / degenerate key, and candidate pairs grow O(n²)."""
     import logging
 
     def key(t: pa.Table) -> pa.Table:
@@ -1212,7 +1193,7 @@ def fuzzy_pairs_blocked(
         strs = df["s"].to_numpy()
         blks = df["blk"].to_numpy()
         uniq, starts, counts = np.unique(blks, return_index=True, return_counts=True)
-        if (counts > max_block).any():
+        if max_block is not None and (counts > max_block).any():
             over = counts > max_block
             logging.getLogger(__name__).warning(
                 "fuzzy_pairs_blocked: %d blocks over cap %d (largest %d) — "

@@ -34,6 +34,33 @@ import numpy as np
 import pyarrow as pa
 
 
+def _limb_checksum(ds, col: str) -> tuple:
+    """Overflow-safe monotone fixpoint metric shared by the Pregel family:
+    the exact sum of ``col`` split into 21-bit limbs (value = hi·2^42 +
+    mid·2^21 + lo; each limb sum ≤ n·2^21, no int64 overflow below 2^42
+    rows; the limb triple is a bijection of the true sum). Valid ONLY for
+    monotone quantities (CC min-labels, BFS distances) — see
+    pointer_jump_resolve for why non-monotone values need a changed-row
+    count instead. All three limb sums come from ONE pipeline execution."""
+    import numpy as np
+    import pyarrow as pa
+
+    M = np.int64((1 << 21) - 1)
+
+    def limbs(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy()
+        return pa.table(
+            {
+                "hi": pa.array(v >> np.int64(42)),
+                "mid": pa.array((v >> np.int64(21)) & M),
+                "lo": pa.array(v & M),
+            }
+        )
+
+    sums = ds.map_batches(limbs, batch_format="pyarrow").sum(["hi", "mid", "lo"])
+    return (sums["sum(hi)"], sums["sum(mid)"], sums["sum(lo)"])
+
+
 def pagerank(
     edges,
     nodes,
@@ -411,39 +438,21 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
     src_ref = ray.put(frozenset(source_set))
 
     def init(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         srcs = ray.get(src_ref)
-        node = t["node"].to_pylist()
-        d = np.full(len(node), SENT, np.int64)
-        d[[i for i, u in enumerate(node) if u in srcs]] = 0
+        is_src = pc.is_in(
+            t["node"], value_set=pa.array(sorted(srcs), t["node"].type)
+        ).to_numpy(zero_copy_only=False)
+        d = np.where(is_src, np.int64(0), SENT)
         return pa.table({"node": t["node"], "dist": pa.array(d)})
-
-    def checksum(ds) -> tuple:
-        """Overflow-safe monotone fixpoint metric (the connected_components
-        limb trick): distances are non-increasing ints, so the true sum is
-        strictly decreasing until the fixpoint — but with the 2^40
-        unreached sentinel a plain sum("dist") overflows int64 beyond ~2^23
-        unreached nodes. 21-bit limb sums represent the exact total."""
-        M = np.int64((1 << 21) - 1)
-
-        def limbs(t: pa.Table) -> pa.Table:
-            d = t["dist"].to_numpy()
-            return pa.table(
-                {
-                    "hi": pa.array(d >> np.int64(42)),
-                    "mid": pa.array((d >> np.int64(21)) & M),
-                    "lo": pa.array(d & M),
-                }
-            )
-
-        part = ds.map_batches(limbs, batch_format="pyarrow")
-        return (part.sum("hi"), part.sum("mid"), part.sum("lo"))
 
     dist = nodes.map_batches(init, batch_format="pyarrow").materialize()
     edges = edges.materialize()
     if edges.count() == 0:
         prev = dist
     else:
-        prev_sum = checksum(dist)
+        prev_sum = _limb_checksum(dist, "dist")
         while True:
             import pyarrow.compute as pc
 
@@ -471,7 +480,7 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
                 .rename_columns({"min(dist)": "dist"})
                 .materialize()
             )
-            new_sum = checksum(merged)
+            new_sum = _limb_checksum(merged, "dist")
             dist = merged
             if new_sum == prev_sum:
                 prev = merged

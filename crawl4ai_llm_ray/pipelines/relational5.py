@@ -1013,7 +1013,12 @@ def weighted_sample_orders(sf_dir: str, k: int = 100, seed: int = 23):
         )
         skey = u / cents.astype(np.float64)
         if len(skey) > k:
-            idx = np.argpartition(skey, k)[:k]
+            # exact (skey, o_orderkey) order at the k boundary: a plain
+            # argpartition on skey alone could keep the wrong member of an
+            # exactly-tied pair straddling k (possible: two quotients
+            # rounding to the same double) and diverge from the oracle's
+            # ORDER BY skey, o_orderkey
+            idx = np.lexsort((ok, skey))[:k]
         else:
             idx = np.arange(len(skey))
         return pa.table(

@@ -1021,19 +1021,26 @@ def pack_documents(sf_dir: str, budget: int = 2048, n_ranges: int = 8):
     import pyarrow.parquet as pq_mod
 
     md = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        g = md.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            if col.path_in_schema != "doc_id":
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                lo = None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+
+    def _stats_bounds():
+        # any row group missing doc_id min/max aborts the whole stats scan
+        # (the sibling _events_day_bounds early-return contract) — partial
+        # stats must not masquerade as full bounds
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != "doc_id":
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None, None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+
+    lo, hi = _stats_bounds()
     ds = _read_docs(sf_dir)
     if lo is None:  # stats missing: one aggregate pass
         lo, hi = ds.min("doc_id"), ds.max("doc_id")

@@ -264,11 +264,10 @@ def write_clustered(
         k = t[key_col].to_numpy()
         return pa.table({key_col: pa.array(k[::sample_stride])})
 
-    sampled = np.sort(
-        ds.map_batches(sample, batch_format="pyarrow").to_pandas()[
-            key_col
-        ].to_numpy()
-    )
+    samp_df = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    if key_col not in samp_df.columns:  # empty input: Ray drops the schema
+        samp_df[key_col] = np.array([], dtype=np.int64)
+    sampled = np.sort(samp_df[key_col].to_numpy())
     if len(sampled) >= n_ranges:
         q = (np.arange(1, n_ranges) * len(sampled)) // n_ranges
         bounds = np.unique(sampled[q])
@@ -307,8 +306,16 @@ def write_clustered(
         .groupby("_rp")
         .map_groups(write_range, batch_format="pandas")
         .to_pandas()  # one row per range file — driver-safe
-        .sort_values("file")
     )
+    if len(manifest) == 0 or "file" not in manifest.columns:
+        # empty input: valid layout with zero files (readers prune to zero)
+        with open(os.path.join(path, "MANIFEST.json"), "w") as f:
+            json.dump(
+                {"key": key_col, "stats_cols": list(stats_cols), "files": []},
+                f,
+            )
+        return []
+    manifest = manifest.sort_values("file")
     entries = manifest.to_dict("records")
     with open(os.path.join(path, "MANIFEST.json"), "w") as f:
         json.dump(
@@ -338,8 +345,10 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
     ]
     n_total = len(man["files"])
     if not files:
+        # preserve the caller's requested schema, not just the key column
+        cols = list(columns) if columns else [key_col]
         empty = rd.from_arrow(
-            pa.table({key_col: pa.array([], pa.int64())})
+            pa.table({c: pa.array([], pa.int64()) for c in cols})
         )
         return empty, 0, n_total
     ds = rd.read_parquet(files, columns=columns)
@@ -406,7 +415,13 @@ def write_zorder(
             }
         )
 
+    import pandas as pd
+
     samp = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    if len(samp) == 0 or "x" not in samp.columns:
+        # empty (or sub-stride) input: no bounds — everything buckets to 0;
+        # write_clustered's own empty guard then produces the zero-file layout
+        samp = pd.DataFrame({"x": [], "y": []})
 
     def bounds(v: np.ndarray) -> np.ndarray:
         v = np.sort(v)
@@ -460,8 +475,10 @@ def read_clustered_box(path: str, preds: dict, columns=None):
     ]
     n_total = len(man["files"])
     if not files:
+        # preserve the caller's requested schema, not just the pred columns
+        cols = list(columns) if columns else list(preds)
         empty = rd.from_arrow(
-            pa.table({c: pa.array([], pa.int64()) for c in preds})
+            pa.table({c: pa.array([], pa.int64()) for c in cols})
         )
         return empty, 0, n_total
     ds = rd.read_parquet(files, columns=columns)

@@ -1081,3 +1081,63 @@ def test_join_size_estimate_bounds(tmp_path):
     assert exact == 14
     assert est >= exact  # CMS one-sided error
     assert est == 14     # 3 keys, 256 cols: no collisions -> tight
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_empty_box_and_empty_corpus(tmp_path):
+    """A box overlapping no file returns the CALLER'S schema (review fix);
+    an empty corpus yields a valid zero-file layout, not a crash."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines import relational5 as r5
+    from crawl4ai_llm_ray.sources.io import read_clustered_box, write_zorder
+
+    n = 2000
+    rng = np.random.default_rng(11)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+                "y": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+            }
+        )
+    )
+    out = str(tmp_path / "z")
+    write_zorder(ds, out, "x", "y", n_ranges=4)
+    got, n_read, _ = read_clustered_box(
+        out, {"x": (5000, 6000), "y": (0, 10)}, columns=["rid", "x", "y"]
+    )
+    assert n_read == 0 and len(got.to_pandas()) == 0
+    # caller's schema kept (checked on the dataset: Ray's to_pandas drops
+    # the schema of empty datasets)
+    assert sorted(got.schema().names) == ["rid", "x", "y"]
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out2 = str(tmp_path / "z2")
+    assert write_zorder(empty, out2, "x", "y") == []
+    got2, r2, t2 = read_clustered_box(out2, {"x": (0, 1), "y": (0, 1)})
+    assert r2 == t2 == 0 and len(got2.to_pandas()) == 0
+
+    # empty orders table through the full query path
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    z = r5.zorder_lookup(str(tmp_path))
+    z = z.to_pandas() if hasattr(z, "to_pandas") else z
+    assert len(z) == 0
