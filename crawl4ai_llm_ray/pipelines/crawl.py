@@ -356,14 +356,31 @@ def run_crawl(
         phase["bookkeep"] += _time.time() - t0
         t += 1
 
-    if not stopped_early:
-        # seal trailing metrics (links offered during the final wave's fetch
-        # are attributed to wave t, matching the oracle's labeling) — queues
-        # are empty at a natural stop, so this drains nothing
+    # seal trailing metrics (links offered during the final wave's fetch are
+    # attributed to wave t, matching the oracle's labeling) — queues are
+    # empty at a natural stop, so this drains nothing. Seal exactly ONCE per
+    # completed crawl: a no-op resume of an already-sealed crawl must not
+    # append another (zero) metrics row, and the manifest's next_wave must
+    # track the shards' post-seal wave counter so a later extra-seed resume
+    # stamps WAVE_SCHEMA rows with the same wave number the driver uses for
+    # the output directory (they desynced by one before).
+    already_sealed = bool(manifest and manifest.get("sealed"))
+    do_seal = (not stopped_early) and (t > start_wave or not already_sealed)
+    if do_seal:
         ray.get([s.next_wave.remote(wave_duration) for s in shards])
     # seal final checkpoint so a subsequent resume is a no-op continue
     ray.get([s.checkpoint.remote(ckpt_dir) for s in shards])
-    _write_manifest(out_dir, {"next_wave": t, "n_partitions": n_partitions})
+    _write_manifest(
+        out_dir,
+        {
+            # post-seal the shards' wave counter sits at t+1 — the manifest
+            # must match so a later extra-seed resume numbers its output
+            # directory the same as the rows it stamps
+            "next_wave": t + 1 if do_seal else t,
+            "n_partitions": n_partitions,
+            "sealed": not stopped_early,
+        },
+    )
 
     metrics = pa.concat_tables(ray.get([s.metrics_table.remote() for s in shards]))
     # per-shard seen persistence: each shard writes its own partition — raw

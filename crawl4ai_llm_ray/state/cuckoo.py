@@ -110,7 +110,11 @@ class CuckooFilter:
         return len(h)
 
     def _kick_insert(self, idx: int, f: int) -> None:
-        rng_state = np.uint64(idx) ^ np.uint64(f)
+        # seed MUST be nonzero: 0 is the xorshift fixed point (idx == f can
+        # produce it), which would degenerate victim choice to slot 0 forever
+        # and cycle to a spurious "filter full" at low load — mix in a golden
+        # constant so the state starts nonzero for every (idx, f)
+        rng_state = (np.uint64(idx) ^ np.uint64(f)) | np.uint64(1) << np.uint64(63)
         buckets = self.buckets
         bs = self.bucket_size
         for _ in range(self.MAX_KICKS):

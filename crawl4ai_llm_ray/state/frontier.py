@@ -46,7 +46,7 @@ import pyarrow as pa
 from ..schema import WAVE_SCHEMA
 from .bloom import BloomFilter
 from .cuckoo import CuckooFilter
-from .u64set import U64MaxMap, U64Set
+from .u64set import U64MaxMap, U64Set, keep_max_per_hash
 
 # A shard whose expected URL count is below this uses a bloom probe instead of
 # a cuckoo filter ("bloom fallback for cold shards") — the bloom is smaller and
@@ -169,11 +169,7 @@ class FrontierShard:
         priority = table["priority"].to_numpy(zero_copy_only=False)
 
         # in-batch dedup: keep the max-priority row per url_hash
-        order = np.lexsort((-priority, url_hash))  # by hash, then priority desc
-        uh_sorted = url_hash[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = uh_sorted[1:] != uh_sorted[:-1]
-        keep_idx = order[first]
+        keep_idx = keep_max_per_hash(url_hash, priority)
         keep_idx.sort()  # stable-ish; selection only, order irrelevant below
         counts["deduped"] += n - len(keep_idx)
 
@@ -298,11 +294,7 @@ class FrontierShard:
             uu = np.concatenate([r[2] for r in runs])
             dd = np.concatenate([r[3] for r in runs])
             if len(runs) > 1:
-                order = np.lexsort((-prio, uh))
-                uh_s = uh[order]
-                first = np.ones(len(order), dtype=bool)
-                first[1:] = uh_s[1:] != uh_s[:-1]
-                sel = order[first]
+                sel = keep_max_per_hash(uh, prio)
                 prio, uh, uu, dd = prio[sel], uh[sel], uu[sel], dd[sel]
             self.queues.setdefault(qkey, []).append((prio, uh, uu, dd))
             self._mem_rows += len(prio)
@@ -364,26 +356,23 @@ class FrontierShard:
         for qkey in sorted(hosts_with_rows):
             h, _, saltpart = qkey.partition("#")
             delay = self.robots.get(h, ((), self.default_delay))[1]
+            n_rows = sum(len(r[0]) for r in self.queues.get(qkey, ())) + sum(
+                rows for _, rows in self.spilled.get(qkey, ())
+            )
             # politeness stride: a host with delay > wave_duration fetches only
             # on every ceil(delay/wave_duration)-th wave (slot at wave start) —
             # consecutive fetches land stride*wave_duration ≥ delay apart.
             # Pure function of (t, delay): no cross-wave or cross-shard state,
             # so salted sub-shards on different shards agree without talking.
-            stride = math.ceil(delay / wave_duration)
+            # A robots "Crawl-delay: 0" (valid, means unconstrained) drains
+            # the whole queue this wave instead of dividing by zero.
+            if delay <= 0:
+                stride, budget, delay = 1, n_rows, 0.0
+            else:
+                stride = math.ceil(delay / wave_duration)
+                budget = max(1, int(wave_duration // delay))
             if stride > 1 and t % stride != 0:
                 continue
-            runs = list(self.queues.get(qkey, ()))
-            for path, _rows in self.spilled.pop(qkey, ()):
-                with open(path, "rb") as f:
-                    runs.extend(pickle.load(f))
-            prio = np.concatenate([r[0] for r in runs])
-            uh = np.concatenate([r[1] for r in runs])
-            uu = np.concatenate([r[2] for r in runs])
-            dd = np.concatenate([r[3] for r in runs])
-            # (priority desc, url_hash asc) — one vectorized sort per host per
-            # wave instead of per-item heap ops
-            order = np.lexsort((uh, -prio))
-            budget = max(1, int(wave_duration // delay))
             if saltpart:
                 # sub-shard j of s fills interleaved slots on the host's
                 # politeness grid, rotated per FETCH OPPORTUNITY (t // stride)
@@ -396,6 +385,22 @@ class FrontierShard:
                 slots = np.arange(offset, budget, s_count, dtype=np.int64)
             else:
                 slots = np.arange(budget, dtype=np.int64)
+            if len(slots) == 0:
+                # this sub-queue gets no fetch slot this opportunity: skip
+                # BEFORE touching spilled runs — loading + re-spilling them
+                # for a zero-row take is pure I/O churn (the stub stays put)
+                continue
+            runs = list(self.queues.get(qkey, ()))
+            for path, _rows in self.spilled.pop(qkey, ()):
+                with open(path, "rb") as f:
+                    runs.extend(pickle.load(f))
+            prio = np.concatenate([r[0] for r in runs])
+            uh = np.concatenate([r[1] for r in runs])
+            uu = np.concatenate([r[2] for r in runs])
+            dd = np.concatenate([r[3] for r in runs])
+            # (priority desc, url_hash asc) — one vectorized sort per host per
+            # wave instead of per-item heap ops
+            order = np.lexsort((uh, -prio))
             take = order[: len(slots)]
             rest = order[len(slots):]
             self._mem_rows -= sum(len(r[0]) for r in self.queues.get(qkey, ()))
@@ -526,6 +531,10 @@ class FrontierShard:
             "staging": self.staging,
             "stage_spilled": self.stage_spilled,
             "stage_prio": self.stage_prio.to_bytes(),
+            # in-flight counters offered since the last wave seal: without
+            # them a resume seals the next metrics row with zeros and the
+            # metrics artifact diverges from an uninterrupted run
+            "wave_counts": self._wave_counts,
         }
         path = os.path.join(ckpt_dir, f"shard_{self.partition_id:05d}.ckpt")
         fd, tmp = tempfile.mkstemp(dir=ckpt_dir, suffix=".tmp")
@@ -533,7 +542,31 @@ class FrontierShard:
             pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)  # atomic commit point (vs reference's non-atomic
         # file-then-index write, json_storage.py:199-221 — SURVEY §8 n.5)
+        self._gc_spill_files()
         return path
+
+    def _gc_spill_files(self) -> None:
+        """Delete this shard's spill files not referenced by the CURRENT
+        (just-committed) checkpoint state. The checkpoint is the only safe
+        GC point: any resume reads the latest checkpoint, so files absent
+        from it are unreachable — consumed runs otherwise accumulate one
+        orphan .pkl per spill for the lifetime of a long bounded-memory
+        crawl (each respill of the same rows writes a NEW file)."""
+        if not self.spill_dir or not os.path.isdir(self.spill_dir):
+            return
+        live = {
+            os.path.basename(p)
+            for stubs in list(self.spilled.values())
+            + list(self.stage_spilled.values())
+            for p, _ in stubs
+        }
+        mine = f"s{self.partition_id:05d}_"
+        for name in os.listdir(self.spill_dir):
+            if name.startswith(mine) and name not in live:
+                try:
+                    os.remove(os.path.join(self.spill_dir, name))
+                except OSError:
+                    pass
 
     @classmethod
     def restore(cls, ckpt_path: str) -> "FrontierShard":
@@ -552,7 +585,7 @@ class FrontierShard:
         obj.queues = state["queues"]
         obj.wave = state["wave"]
         obj.metrics_rows = state["metrics_rows"]
-        obj._wave_counts = obj._zero_counts()
+        obj._wave_counts = state.get("wave_counts") or obj._zero_counts()
         obj.max_queue_rows = state.get("max_queue_rows")
         obj.spill_dir = state.get("spill_dir")
         obj._spill_seq = state.get("spill_seq", 0)

@@ -144,3 +144,17 @@ class U64MaxMap:
         obj.base_h = np.frombuffer(data[: n * 8], dtype=np.uint64).copy()
         obj.base_v = np.frombuffer(data[n * 8 : n * 12], dtype=np.float32).copy()
         return obj
+
+def keep_max_per_hash(hashes, prios):
+    """Selection indices keeping ONE row per hash — the max-prio one, ties
+    broken deterministically by the lexsort's stable first-occurrence — the
+    order-independence-critical resolve shared by FrontierShard.offer,
+    _flush_staging and U64MaxMap (a single implementation so the
+    determinism contract cannot silently diverge between copies)."""
+    import numpy as np
+
+    order = np.lexsort((-prios, hashes))  # hash asc, prio desc
+    hs = hashes[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = hs[1:] != hs[:-1]
+    return order[first]

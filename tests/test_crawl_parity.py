@@ -311,3 +311,35 @@ def test_resume_discards_partial_wave_output(ray_session, tmp_path, golden):
     for url, gspans in golden["docs"].items():
         assert docs[url] == gspans
     assert not os.path.exists(os.path.join(docs_dir, ".tmp_torn"))
+
+
+def test_resume_preserves_in_flight_metrics(ray_session, tmp_path):
+    """Counters offered since the last wave seal survive checkpoint/restore:
+    a resumed crawl's metrics table equals an uninterrupted run's (the
+    pre-fix behavior zeroed offered/admitted/deduped for the first resumed
+    wave)."""
+    out_a = str(tmp_path / "uninterrupted")
+    full = run_crawl(
+        CFG, out_a, n_partitions=NPART, fetch_concurrency=2,
+        expected_urls_per_shard=2048,
+    )
+    out_b = str(tmp_path / "resumed")
+    run_crawl(
+        CFG, out_b, n_partitions=NPART, fetch_concurrency=2, max_waves=2,
+        expected_urls_per_shard=2048,
+    )
+    resumed = run_crawl(
+        CFG, out_b, n_partitions=NPART, fetch_concurrency=2, resume=True,
+        expected_urls_per_shard=2048,
+    )
+    a = full.metrics.to_pandas().sort_values(["partition_id", "wave"])
+    b = resumed_all = resumed.metrics.to_pandas().sort_values(
+        ["partition_id", "wave"]
+    )
+    # the resumed run's table contains only waves >= the restore point plus
+    # restored rows — compare the FULL per-(partition, wave) accounting
+    cols = ["partition_id", "wave", "offered", "admitted", "deduped",
+            "robots_blocked", "fetched"]
+    assert a[cols].reset_index(drop=True).equals(
+        b[cols].reset_index(drop=True)
+    )

@@ -81,7 +81,13 @@ class TestSpill:
         import os
 
         spill_dir = str(tmp_path / "spill_out" / "_ckpt" / "spill")
-        assert os.path.isdir(spill_dir) and len(os.listdir(spill_dir)) > 0
+        # the dir is created lazily on the FIRST spill — its existence is the
+        # witness that spilling occurred; the final checkpoint then GCs every
+        # consumed spill file (queues empty at completion → zero live stubs),
+        # so the completed crawl must leave the dir EMPTY, not full of
+        # orphaned .pkl files (the pre-GC behavior leaked one per spill)
+        assert os.path.isdir(spill_dir)
+        assert len(os.listdir(spill_dir)) == 0
 
     def test_shard_spill_roundtrip(self, tmp_path):
         import pyarrow as pa
