@@ -945,12 +945,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
         """,
         "media_resize_plan": f"""
-            WITH m AS (SELECT doc_id, ({fnv_text} % 640 + 64)::DOUBLE AS w,
-                              (({fnv_text} // 4294967296) % 480 + 64)::DOUBLE AS h
+            WITH m AS (SELECT doc_id, ({fnv_text} % 640 + 64)::BIGINT AS w,
+                              (({fnv_text} // 4294967296) % 480 + 64)::BIGINT AS h
                        FROM documents)
             SELECT doc_id,
-                   CAST(FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INTEGER) AS out_w,
-                   CAST(FLOOR(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INTEGER) AS out_h
+                   CAST(CASE WHEN GREATEST(w, h) <= 256 THEN w
+                             ELSE (w * 512 + GREATEST(w, h))
+                                  // (2 * GREATEST(w, h)) END AS INTEGER) AS out_w,
+                   CAST(CASE WHEN GREATEST(w, h) <= 256 THEN h
+                             ELSE (h * 512 + GREATEST(w, h))
+                                  // (2 * GREATEST(w, h)) END AS INTEGER) AS out_h
             FROM m
         """,
         "media_chunks": """
@@ -964,18 +968,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": f"""
             WITH b AS (SELECT doc_id, {fnv_text} AS f, length(text)::BIGINT AS n,
-                              CASE WHEN length(text) = 0 THEN [0.0]
+                              CASE WHEN length(text) = 0 THEN [0]
                                    ELSE list_transform(range(1, length(text)+1),
-                                                       i -> ord(substr(text,i,1))::DOUBLE)
+                                                       i -> ord(substr(text,i,1))::BIGINT)
                               END AS bs
                        FROM documents)
             SELECT doc_id,
                    CASE WHEN f % 4 = 0 THEN 'audio' ELSE 'image' END AS media_kind,
                    n AS n_bytes,
-                   round(list_aggregate(bs, 'avg'), 4) AS byte_mean,
-                   round(sqrt(list_aggregate(list_transform(bs,
-                         x -> (x - list_aggregate(bs, 'avg')) * (x - list_aggregate(bs, 'avg'))),
-                         'avg')), 4) AS byte_std
+                   round(list_aggregate(bs, 'sum')::DOUBLE
+                         / greatest(n, 1), 4) AS byte_mean,
+                   round(sqrt((greatest(n, 1) *
+                               list_aggregate(list_transform(bs, x -> x * x), 'sum')
+                               - list_aggregate(bs, 'sum') * list_aggregate(bs, 'sum'))::DOUBLE
+                              / (greatest(n, 1) * greatest(n, 1))), 4) AS byte_std
             FROM b
         """,
         "rolling_fingerprint": f"""

@@ -35,6 +35,15 @@ def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+def _round_half_away(x: np.ndarray, nd: int = 4) -> np.ndarray:
+    """SQL-compatible vectorized rounding: DuckDB's round() is half-away-
+    from-zero; np.round is banker's (half-to-even) — a cosine scaling to an
+    exact .5 dyadic at 4 decimals would diverge (the multimodal decoder
+    documents the same pitfall, multimodal.py:_round_half_away)."""
+    scale = 10.0 ** nd
+    return np.where(x == 0, 0.0, np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x))
+
+
 def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     """Brute-force cosine top-k: per-batch matmul against the broadcast query
     (numpy), then a global sort+limit over the tiny per-batch top-k partials.
@@ -56,10 +65,15 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
         keep = ids != query_vec_id
         # per-batch top-k partial: only k rows per batch reach the sort
         ids, cos = ids[keep], cos[keep]
+        # round BEFORE pruning and break rounded ties by vec_id DESC — the
+        # final sort and the SQL oracle rank on (rounded cos DESC, vec_id
+        # DESC), so a raw-cos argpartition could evict the wrong member of
+        # a rounded tie straddling the k boundary (ann_topk_multi's fix)
+        cos = _round_half_away(cos)
         if len(cos) > k:
-            part = np.argpartition(-cos, k)[:k]
+            part = np.lexsort((-ids, -cos))[:k]
             ids, cos = ids[part], cos[part]
-        return pa.table({"vec_id": pa.array(ids), "cos": pa.array(np.round(cos, 4))})
+        return pa.table({"vec_id": pa.array(ids), "cos": pa.array(cos)})
 
     return (
         ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
@@ -109,6 +123,10 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16, index_dir: str | None = None
         .limit(n_cells)
         .take_all()
     )
+    if not samp:
+        raise ValueError(
+            "build_ivf_index: embeddings table is empty — nothing to index"
+        )
     cent = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in samp])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     cent_ref = ray.put(cent)
@@ -165,10 +183,12 @@ def ann_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_cells: int =
         keep = ids != query_vec_id
         cos = Mn[keep] @ qv
         ids = ids[keep]
+        # same round-before-prune + vec_id tiebreak contract as ann_topk
+        cos = _round_half_away(cos)
         if len(cos) > k:
-            part = np.argpartition(-cos, k)[:k]
+            part = np.lexsort((-ids, -cos))[:k]
             ids, cos = ids[part], cos[part]
-        return pa.table({"vec_id": pa.array(ids), "cos": pa.array(np.round(cos, 4))})
+        return pa.table({"vec_id": pa.array(ids), "cos": pa.array(cos)})
 
     return (
         ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
@@ -209,10 +229,15 @@ def build_pq_index(
     import ray.data as rd
 
     key = (sf_dir, m_subs, n_centroids)
-    if key in _PQ_CACHE:
-        return _PQ_CACHE[key]
+    cached = _PQ_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached[0]):  # same staleness
+        return cached  # guard as _IVF_CACHE: tmpdir reapers delete indexes
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows == 0:
+        raise ValueError(
+            "build_pq_index: embeddings table is empty — nothing to index"
+        )
     # ceil so the stride sample is genuinely ≤ train_cap rows
     step = max(1, -(-n_rows // train_cap))
 
@@ -345,13 +370,13 @@ def ann_pq_topk(
     )
     M = list_col_to_matrix(tbl["embedding"])
     M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    cos = M @ q
+    cos = _round_half_away(M @ q)  # round BEFORE ranking (tie contract)
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((-ids, -cos))[:k]
     return pa.table(
         {
             "vec_id": pa.array(ids[order]),
-            "cos": pa.array(np.round(cos[order], 4)),
+            "cos": pa.array(cos[order]),
         }
     )
 
@@ -390,7 +415,7 @@ def ann_topk_multi(sf_dir: str, query_vec_ids=(0, 1, 2, 3, 4, 5, 6, 7), k: int =
         qa, Qm = ray.get(ref)
         M = list_col_to_matrix(t["embedding"])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = np.round(M @ Qm.T, 4)  # (n, q), oracle-rounded BEFORE ranking
+        S = _round_half_away(M @ Qm.T)  # (n, q), oracle-rounded BEFORE ranking
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         oq, ov, oc = [], [], []
         for j in range(len(qa)):

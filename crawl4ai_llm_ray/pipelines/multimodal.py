@@ -79,22 +79,10 @@ class PayloadDecoder:
             "the deterministic fake decode below keeps the pipeline testable"
         )
 
-    def _decode_fake(self, payload: bytes) -> np.ndarray:
-        # deterministic "decoded" byte histogram features
-        b = np.frombuffer(payload, dtype=np.uint8)
-        if len(b) == 0:
-            b = np.zeros(1, dtype=np.uint8)
-        return b
-
-    @staticmethod
-    def _round_half_away(x: float, nd: int = 4) -> float:
-        # SQL-compatible rounding (DuckDB rounds half away from zero; Python/
-        # numpy round half to even — 93.90625 would diverge at 4 decimals)
-        scale = 10.0 ** nd
-        return float(np.floor(abs(x) * scale + 0.5) / scale * np.sign(x) if x else 0.0)
-
     @staticmethod
     def _round_half_away_vec(x: np.ndarray, nd: int = 4) -> np.ndarray:
+        # SQL-compatible rounding (DuckDB rounds half away from zero; Python/
+        # numpy round half to even — 93.90625 would diverge at 4 decimals)
         scale = 10.0 ** nd
         return np.where(
             x == 0, 0.0, np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x)
@@ -103,23 +91,37 @@ class PayloadDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # fake-decode path vectorized batch-wide: byte mean/std straight off
         # the Arrow binary column's value buffer + offsets (zero per-row
-        # Python; a REAL codec is inherently per-item and would loop here —
-        # that loop belongs in _decode_real)
+        # Python). The fake path runs even when the codec imports
+        # (self._have_codec) — determinism + oracle parity are the test
+        # contract; _decode_real is the per-item socket a real deployment
+        # swaps in, and a real codec loop belongs there.
         col = batch["payload"]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        # binary uses int32 offsets, large_binary int64 — reading int64
+        # offsets as int32 pairs would silently corrupt every span
+        off_dtype = (
+            np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        )
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
             arr.offset : arr.offset + len(arr) + 1
         ].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8).astype(
-            np.float64
-        )
+        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
         starts, ends = offs[:-1], offs[1:]
-        lens = (ends - starts).astype(np.float64)
-        eff = np.where(lens > 0, lens, 1.0)  # empty payload decodes to [0]
-        cs = np.concatenate([[0.0], np.cumsum(data)])
-        cs2 = np.concatenate([[0.0], np.cumsum(data * data)])
-        means = (cs[ends] - cs[starts]) / eff
-        var = np.maximum((cs2[ends] - cs2[starts]) / eff - means * means, 0.0)
+        lens = (ends - starts).astype(np.int64)
+        eff = np.where(lens > 0, lens, 1).astype(np.int64)  # empty → [0]
+        # EXACT integer sums (cumsum in int64 — float cumsums accumulate
+        # rounding across the batch buffer and E[x²]−mean² cancels badly for
+        # low-variance payloads; the integer identity n·Σx²−(Σx)² removes
+        # the whole float-divergence class, and the single IEEE division +
+        # sqrt below are correctly rounded hence bit-identical to the SQL
+        # twin computing the same integers)
+        di = data.astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(di)])
+        cs2 = np.concatenate([[0], np.cumsum(di * di)])
+        sx = cs[ends] - cs[starts]
+        sx2 = cs2[ends] - cs2[starts]
+        means = sx / eff
+        var = (eff * sx2 - sx * sx) / (eff * eff)  # ≥ 0 exactly (ints)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -154,6 +156,15 @@ def media_chunks(sf_dir: str, chunk_bytes: int = 64):
     media = synth_media_table(sf_dir)
 
     def chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # np.repeat([0], []) broadcast-crashes below
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int32()),
+                    "begin": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                }
+            )
         lens = pc.binary_length(t["payload"]).to_numpy(zero_copy_only=False)
         n_chunks = np.maximum(1, -(-lens // chunk_bytes))  # ceil div
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -292,14 +303,21 @@ def media_resize_plan(sf_dir: str):
     media = synth_media_table(sf_dir)
 
     def plan(t: pa.Table) -> pa.Table:
-        w = t["width"].to_numpy(zero_copy_only=False).astype(np.float64)
-        h = t["height"].to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(1.0, 256.0 / np.maximum(w, h))
+        # EXACT integer geometry: floor(dim * 256.0/maxdim) in float truncates
+        # the max side to 255 for 27 of the possible sizes (256/322*322 =
+        # 255.999…); round-half-up integer division keeps the contract that
+        # the longer side comes out exactly 256
+        w = t["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = np.maximum(w, h)
+        need = mx > 256
+        out_w = np.where(need, (w * 512 + mx) // (2 * mx), w)
+        out_h = np.where(need, (h * 512 + mx) // (2 * mx), h)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "out_w": pa.array((w * scale).astype(np.int32)),
-                "out_h": pa.array((h * scale).astype(np.int32)),
+                "out_w": pa.array(out_w.astype(np.int32)),
+                "out_h": pa.array(out_h.astype(np.int32)),
             }
         )
 

@@ -966,11 +966,23 @@ def cooccur_parts(
     )
 
     def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         df = df.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
             ["l_orderkey", "l_partkey"], kind="mergesort"
         )
         sizes = df.groupby("l_orderkey")["l_orderkey"].transform("size")
-        df = df[sizes.to_numpy() <= max_basket]
+        over = sizes.to_numpy() > max_basket
+        if over.any():
+            # no silent caps: the docstring promises dropped baskets are
+            # visible in the log
+            logging.getLogger(__name__).warning(
+                "cooccur_parts: dropped %d over-cap baskets (%d rows, "
+                "largest %d items > max_basket=%d)",
+                df.loc[over, "l_orderkey"].nunique(), int(over.sum()),
+                int(sizes.max()), max_basket,
+            )
+        df = df[~over]
         ok = df["l_orderkey"].to_numpy()
         pk = df["l_partkey"].to_numpy()
         n = len(df)
