@@ -34,3 +34,17 @@ def final_agg(partials, keys: list[str], sums: dict[str, str], finalize=None):
     return partials.repartition(1).map_batches(
         agg, batch_format="pandas", batch_size=None
     )
+
+
+def isin_sorted(keys, vals):
+    """Vectorized membership of ``vals`` in the SORTED array ``keys`` —
+    the searchsorted+clip+equality idiom shared by the broadcast semi/anti
+    joins (it was hand-copied six times with drifting empty-array guards;
+    the unguarded copies crashed on an empty key set: np.clip(idx, 0, -1)
+    then keys[-1] on a length-0 array)."""
+    import numpy as np
+
+    if len(keys) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.clip(np.searchsorted(keys, vals), 0, len(keys) - 1)
+    return keys[idx] == vals

@@ -94,14 +94,16 @@ def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ----------------------------------------------------------------- exact dedup
-def dedup_exact_text(sf_dir: str, num_partitions: int = 32):
-    """Exact dedup on full content: keep the min doc_id per text. The
+def exact_survivors(docs, num_partitions: int = 32):
+    """(doc_id) of the exact-dedup SURVIVORS (min doc_id per text) over any
+    (doc_id, text) Dataset — THE exact-content-dedup contract, shared by
+    dedup_exact_text and text.curation_over (one implementation so the
+    collision handling / partition key cannot drift between the two). The
     canonical hash-partition + per-group-first pattern: rows are routed by
     the 64-bit content hash (so the shuffle key is narrow and never skewed),
     but the per-partition group key is (hash, text) — full text equality is
     confirmed within hash groups, so a hash collision between distinct texts
     cannot merge their groups (exactness vs the GROUP BY text oracle)."""
-    ds = _read_docs(sf_dir)
 
     def key(t: pa.Table) -> pa.Table:
         k = fnv1a64(t["text"])
@@ -120,10 +122,16 @@ def dedup_exact_text(sf_dir: str, num_partitions: int = 32):
         return df.groupby(["k", "text"], as_index=False)["doc_id"].min()[["doc_id"]]
 
     return (
-        ds.map_batches(key, batch_format="pyarrow")
+        docs.map_batches(key, batch_format="pyarrow")
         .groupby("kp")
         .map_groups(min_per_part, batch_format="pandas")
     )
+
+
+def dedup_exact_text(sf_dir: str, num_partitions: int = 32):
+    """Exact dedup on full content over the documents table — see
+    :func:`exact_survivors` for the contract and scale shape."""
+    return exact_survivors(_read_docs(sf_dir), num_partitions)
 
 
 def dedup_exact_prefix(sf_dir: str, n_tokens: int = 5):

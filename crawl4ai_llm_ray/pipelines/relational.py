@@ -19,9 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Min, Sum
 
-from ..functions.agg import final_agg
+from ..functions.agg import isin_sorted, final_agg
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -134,9 +133,7 @@ def semi_join(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
         ck = t["c_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(keys, ck)
-        idx_c = np.clip(idx, 0, len(keys) - 1)
-        return t.filter(pa.array(keys[idx_c] == ck))
+        return t.filter(pa.array(isin_sorted(keys, ck)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -153,9 +150,7 @@ def anti_join(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
         ck = t["c_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(keys, ck)
-        idx_c = np.clip(idx, 0, len(keys) - 1)
-        return t.filter(pa.array(keys[idx_c] != ck))
+        return t.filter(pa.array(~isin_sorted(keys, ck)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -405,7 +400,6 @@ def bloom_semi_join(sf_dir: str, capacity: int = 1 << 16, fpp: float = 1e-4):
         # exact confirm on the (few) bloom survivors only
         keys = ray.get(exact_ref)
         ck = t["c_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
-        return t.filter(pa.array(keys[idx] == ck))
+        return t.filter(pa.array(isin_sorted(keys, ck)))
 
     return ds.map_batches(f, batch_format="pyarrow")

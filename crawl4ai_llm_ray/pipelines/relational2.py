@@ -12,7 +12,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Sum
 
 from ..functions.agg import final_agg
 
@@ -30,30 +29,43 @@ def join_3way_topk(sf_dir: str, k: int = 10):
     import ray
     import pyarrow.parquet as pq
 
+    from ..functions.agg import isin_sorted
+
+    # customer is the DIMENSION side: driver-read is fine. The BUILDING
+    # order-key set is built DISTRIBUTED (per-batch semi-filter + distinct
+    # partials) — orders is the fact side; reading it whole on the driver
+    # contradicted the module's broadcast-dimension-sized-only rule.
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     seg_keys = np.sort(
         cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy()
     )
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    seg_ref = ray.put(seg_keys)
+
+    def order_keys_partial(t: pa.Table) -> pa.Table:
+        sk = ray.get(seg_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"].filter(pa.array(isin_sorted(sk, oc)))}
+        )
+
+    keep_orders = np.sort(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(order_keys_partial, batch_format="pyarrow")
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
     )
-    ok = orders["o_orderkey"].to_numpy()
-    oc = orders["o_custkey"].to_numpy()
-    pos = np.clip(np.searchsorted(seg_keys, oc), 0, max(len(seg_keys) - 1, 0))
-    sel = len(seg_keys) > 0
-    mask = (seg_keys[pos] == oc) if sel else np.zeros(len(oc), bool)
-    keep_orders = np.sort(ok[mask])
     keys_ref = ray.put(keep_orders)
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
+        from ..functions.agg import isin_sorted
+
         lo = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys, lo), 0, max(len(keys) - 1, 0))
-        m = (keys[pos] == lo) if len(keys) else np.zeros(len(lo), bool)
+        m = isin_sorted(keys, lo)
         if not m.any():
             return pa.table(
                 {"l_orderkey": pa.array([], pa.int64()), "p_rev": pa.array([], pa.float64())}

@@ -56,7 +56,7 @@ def quantiles_per_group(sf_dir: str, qs: tuple[float, ...] = (0.5, 0.9)):
         row = {"o_orderpriority": g["o_orderpriority"].iloc[0]}
         for q in qs:
             idx = max(0, math.ceil(q * n) - 1)
-            row[f"p{int(q * 100)}"] = round(float(v[idx]), 2)
+            row[f"p{round(q * 100)}"] = round(float(v[idx]), 2)
         return pd.DataFrame([row])
 
     return ds.groupby("o_orderpriority").map_groups(per_group, batch_format="pandas")

@@ -28,6 +28,41 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+def _word_counts(low, words) -> dict:
+    """One \\b-anchored regex count per DISTINCT word over the lowercased
+    batch — the stopword and language-marker lists overlap ('the', 'a',
+    'of'), so computing per-word counts once removes redundant full-text
+    scans from the hot curation path."""
+    return {
+        w: pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        for w in words
+    }
+
+
+def _signals_batch(low):
+    """(n_tok, stop_hits, stop_ratio, lang_pred) for a lowercased batch —
+    THE definition of the curation signals, shared by quality_score,
+    lang_id and curation_over so the composed pass can never drift from
+    the individually oracle-checked operators."""
+    n_tok = (
+        pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    need = sorted(set(STOPWORDS) | {w for ws in LANG_MARKERS.values() for w in ws})
+    wc = _word_counts(low, need)
+    stop_hits = sum(wc[w] for w in STOPWORDS)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(n_tok > 0, stop_hits / n_tok.astype(np.float64), 0.0)
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break: first max wins
+    mat = np.stack([sum(wc[w] for w in LANG_MARKERS[lg]) for lg in langs])
+    best = np.argmax(mat, axis=0)
+    best_score = mat[best, np.arange(mat.shape[1])]
+    pred = np.array(langs, dtype=object)[best]
+    pred[best_score == 0] = "unk"
+    return n_tok, stop_hits, ratio, pred
+
+
 def token_count(sf_dir: str):
     """(doc_id, n_tokens): tokens = maximal [a-z0-9]+ runs of the lowercased
     text. Single vectorized Arrow regex kernel per batch."""
@@ -47,21 +82,13 @@ def quality_score(sf_dir: str):
 
     def f(t: pa.Table) -> pa.Table:
         low = pc.utf8_lower(t["text"])
-        n_tok = pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
-        stop_hits = None
-        for w in STOPWORDS:
-            c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
-            stop_hits = c if stop_hits is None else pc.add(stop_hits, c)
+        n_tok, stop_hits, ratio, _ = _signals_batch(low)
         punct_n = pc.cast(pc.count_substring_regex(low, r"[^a-z0-9 ]"), pa.int64())
-        n_np = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
-        s_np = stop_hits.to_numpy(zero_copy_only=False).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ratio = np.where(n_np > 0, s_np / n_np, 0.0)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": n_tok,
-                "stop_hits": stop_hits,
+                "n_tokens": pa.array(n_tok),
+                "stop_hits": pa.array(stop_hits),
                 "stop_ratio": pa.array(ratio),
                 "punct_n": punct_n,
             }
@@ -76,20 +103,7 @@ def lang_id(sf_dir: str):
     'unk'. (An n-gram model would slot into the same stage shape.)"""
 
     def f(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
-        scores = {}
-        for lang, words in LANG_MARKERS.items():
-            s = None
-            for w in words:
-                c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
-                s = c if s is None else pc.add(s, c)
-            scores[lang] = s.to_numpy(zero_copy_only=False)
-        langs = sorted(LANG_MARKERS)  # deterministic tie-break: first max wins
-        mat = np.stack([scores[lang] for lang in langs])  # (L, n)
-        best = np.argmax(mat, axis=0)
-        best_score = mat[best, np.arange(mat.shape[1])]
-        pred = np.array(langs, dtype=object)[best]
-        pred[best_score == 0] = "unk"
+        _, _, _, pred = _signals_batch(pc.utf8_lower(t["text"]))
         return pa.table(
             {"doc_id": t["doc_id"], "lang_pred": pa.array(pred, type=pa.string())}
         )
@@ -116,7 +130,6 @@ def deterministic_sample(sf_dir: str, hex_digits: tuple[str, ...] = ("0", "1")):
     with a digit in ``hex_digits`` — the hash-based sampling pattern
     (reproducible across runs/engines, unlike RNG sampling; used for
     train/validation splits and A/B corpus cuts). SQL-oracle-checked."""
-    import numpy as np
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         keep = np.fromiter(
@@ -166,33 +179,13 @@ def curation_over(
     doc_id is a string key; the exact-dedup survivor is min doc_id per
     content, computed with the same narrow content-hash groupby)."""
     def signals(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
-        n_tok = pc.cast(pc.count_substring_regex(low, TOKEN_RE), pa.int64())
-        stop_hits = None
-        for w in STOPWORDS:
-            c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
-            stop_hits = c if stop_hits is None else pc.add(stop_hits, c)
-        n_np = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
-        s_np = stop_hits.to_numpy(zero_copy_only=False).astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ratio = np.where(n_np > 0, s_np / n_np, 0.0)
-        scores = {}
-        for lg, words in LANG_MARKERS.items():
-            s = None
-            for w in words:
-                c = pc.cast(pc.count_substring_regex(low, rf"\b{w}\b"), pa.int64())
-                s = c if s is None else pc.add(s, c)
-            scores[lg] = s.to_numpy(zero_copy_only=False)
-        langs = sorted(LANG_MARKERS)
-        mat = np.stack([scores[lg] for lg in langs])
-        best = np.argmax(mat, axis=0)
-        best_score = mat[best, np.arange(mat.shape[1])]
-        pred = np.array(langs, dtype=object)[best]
-        pred[best_score == 0] = "unk"
+        # THE shared signal definition (_signals_batch) — the composed pass
+        # can never drift from the individually oracle-checked operators
+        n_tok, _, ratio, pred = _signals_batch(pc.utf8_lower(t["text"]))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": n_tok,
+                "n_tokens": pa.array(n_tok),
                 "stop_ratio": pa.array(ratio),
                 "lang_pred": pa.array(pred, type=pa.string()),
             }
@@ -200,33 +193,9 @@ def curation_over(
 
     sigs = docs.map_batches(signals, batch_format="pyarrow")
 
-    def content_key(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import fnv1a64
+    from .dedup import exact_survivors
 
-        k = fnv1a64(t["text"])
-        return pa.table(
-            {
-                "k": pa.array(k.view(np.int64)),
-                "kp": pa.array((k % np.uint64(num_partitions)).astype(np.int64)),
-                "text": t["text"],
-                "doc_id": t["doc_id"],
-            }
-        )
-
-    def min_per_part(df) -> "pd.DataFrame":
-        # content groups are partition-complete under kp. Group by (k, text),
-        # not k alone: the oracle groups by text, so a 64-bit hash collision
-        # between distinct texts must NOT merge their groups (k is kept as
-        # the leading groupby key purely to make the pandas groupby cheap —
-        # ties on k fall back to full text equality). min works for int64
-        # AND string doc_ids (lexicographic, like SQL min(varchar)).
-        return df.groupby(["k", "text"], as_index=False)["doc_id"].min()[["doc_id"]]
-
-    survivors = (
-        docs.map_batches(content_key, batch_format="pyarrow")
-        .groupby("kp")
-        .map_groups(min_per_part, batch_format="pandas")
-    )
+    survivors = exact_survivors(docs, num_partitions)
     joined = sigs.join(
         survivors,
         join_type="inner",
@@ -650,15 +619,11 @@ def bm25_topk(
     m = len(terms)
 
     def tf_rows(t: pa.Table) -> pa.Table:
-        text_col = t["text"]
-        if isinstance(text_col, pa.ChunkedArray):
-            text_col = text_col.combine_chunks()
-        words = pc.split_pattern(text_col, " ")
-        flat = words.values.to_numpy(zero_copy_only=False)
-        offsets = words.offsets.to_numpy().astype(np.int64)
-        dl = np.diff(offsets)
-        n = len(dl)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
+        # the shared 1-gram explode (split semantics must match DuckDB's
+        # string_split — one implementation, not two)
+        doc_idx, flat = _word_ngrams_batch(t["text"], 1)
+        n = t.num_rows
+        dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
         cols = {"doc_id": t["doc_id"], "dl": pa.array(dl)}
         for j, term in enumerate(terms):
             hit = flat == term
@@ -1042,8 +1007,11 @@ def pack_documents(sf_dir: str, budget: int = 2048, n_ranges: int = 8):
 
     lo, hi = _stats_bounds()
     ds = _read_docs(sf_dir)
-    if lo is None:  # stats missing: one aggregate pass
-        lo, hi = ds.min("doc_id"), ds.max("doc_id")
+    if lo is None:  # stats missing: ONE aggregate pass for both bounds
+        from ray.data.aggregate import Max, Min
+
+        agg = ds.aggregate(Min("doc_id"), Max("doc_id"))
+        lo, hi = agg["min(doc_id)"], agg["max(doc_id)"]
     if lo is None or hi is None:  # empty corpus
         return pa.table(
             {
