@@ -54,6 +54,28 @@ from .u64set import U64MaxMap, U64Set, keep_max_per_hash
 COLD_SHARD_THRESHOLD = 4096
 
 
+def _take_urls_hosts(table: pa.Table, idx: np.ndarray):
+    """Take (url_canon, host) rows by index, keeping URLs as an Arrow string
+    Array and hosts as (int32 codes, unique-host list) via dictionary
+    encoding — the offer path never materializes per-row Python strings."""
+    take = pa.array(idx)
+    urls = table["url_canon"].take(take)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    hosts = table["host"].take(take)
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    hd = hosts.dictionary_encode()
+    return urls, np.asarray(hd.indices), hd.dictionary.to_pylist()
+
+
+def _concat_url_runs(runs) -> pa.Array:
+    """Concatenate the Arrow url arrays of queue runs (single-run fast path)."""
+    if len(runs) == 1:
+        return runs[0][2]
+    return pa.concat_arrays([r[2] for r in runs])
+
+
 def _url_path(url: str) -> str:
     """Path component of a canonical URL ("/" when absent) — the scalar SPEC
     for the vectorized Arrow path extraction in ``offer``. Robots disallow
@@ -200,13 +222,12 @@ class FrontierShard:
         if len(new_idx):
             import pyarrow.compute as pc
 
-            urls_pa = table["url_canon"].take(pa.array(new_idx))
-            if isinstance(urls_pa, pa.ChunkedArray):
-                urls_pa = urls_pa.combine_chunks()
-            urls = np.asarray(urls_pa.to_pylist(), dtype=object)
-            hosts = np.asarray(
-                table["host"].take(pa.array(new_idx)).to_pylist(), dtype=object
-            )
+            # URLs and hosts stay ARROW from offer to wave emission — no
+            # .to_pylist()/object-array churn on the ingest hot path (the
+            # drain's largest phase). Hosts are dictionary-encoded once per
+            # offer: grouping below compares int32 codes, and only the few
+            # UNIQUE host strings per batch become Python objects.
+            urls_pa, host_codes, uniq_hosts = _take_urls_hosts(table, new_idx)
             prios = priority[new_idx].astype(np.float32)
             depths = depths_all[new_idx].astype(np.int32)
             hashes = url_hash[new_idx]
@@ -214,41 +235,52 @@ class FrontierShard:
             # robots gate (match by PATH — scheme-independent, like the
             # oracle): paths extracted once per offer with one Arrow regex
             # kernel, per-host prefix checks via vectorized starts_with
-            paths_pa = pc.replace_substring_regex(urls_pa, r"^https?://[^/]*", "")
-            paths_pa = pc.if_else(pc.equal(paths_pa, ""), pa.scalar("/"), paths_pa)
             blocked_total = 0
             keep_rows = np.ones(len(new_idx), dtype=bool)
-            uniq_hosts, inv = np.unique(hosts, return_inverse=True)
-            for gi, h in enumerate(uniq_hosts):
-                prefixes = self.robots.get(h, ((), self.default_delay))[0]
-                if not prefixes:
-                    continue
-                g = np.flatnonzero(inv == gi)
-                pg = paths_pa.take(pa.array(g))
-                blocked = np.zeros(len(g), dtype=bool)
-                for pref in prefixes:
-                    blocked |= pc.starts_with(pg, pref).to_numpy(zero_copy_only=False)
-                blocked_total += int(blocked.sum())
-                keep_rows[g[blocked]] = False
+            if any(
+                self.robots.get(h, ((), self.default_delay))[0] for h in uniq_hosts
+            ):
+                paths_pa = pc.replace_substring_regex(
+                    urls_pa, r"^https?://[^/]*", ""
+                )
+                paths_pa = pc.if_else(
+                    pc.equal(paths_pa, ""), pa.scalar("/"), paths_pa
+                )
+                for gi, h in enumerate(uniq_hosts):
+                    prefixes = self.robots.get(h, ((), self.default_delay))[0]
+                    if not prefixes:
+                        continue
+                    g = np.flatnonzero(host_codes == gi)
+                    pg = paths_pa.take(pa.array(g))
+                    blocked = np.zeros(len(g), dtype=bool)
+                    for pref in prefixes:
+                        blocked |= pc.starts_with(pg, pref).to_numpy(
+                            zero_copy_only=False
+                        )
+                    blocked_total += int(blocked.sum())
+                    keep_rows[g[blocked]] = False
             counts["robots_blocked"] = blocked_total
             counts["admitted"] = len(new_idx) - blocked_total
             k = np.flatnonzero(keep_rows)
             if len(k):
-                self._enqueue_staging(hosts[k], prios[k], hashes[k], urls[k], depths[k])
+                if blocked_total:
+                    urls_k = urls_pa.take(pa.array(k))
+                    codes_k = host_codes[k]
+                else:
+                    urls_k, codes_k = urls_pa, host_codes
+                self._enqueue_staging(
+                    codes_k, uniq_hosts, prios[k], hashes[k], urls_k, depths[k]
+                )
                 self.stage_prio.add_batch(hashes[k], prios[k])
             # mark everything (admitted + robots-blocked) seen
             self._probe_insert(hashes)
 
         if len(restage_idx):
-            r_urls = np.asarray(
-                table["url_canon"].take(pa.array(restage_idx)).to_pylist(), dtype=object
-            )
-            r_hosts = np.asarray(
-                table["host"].take(pa.array(restage_idx)).to_pylist(), dtype=object
-            )
+            r_urls, r_codes, r_uniq = _take_urls_hosts(table, restage_idx)
             r_prios = priority[restage_idx].astype(np.float32)
             self._enqueue_staging(
-                r_hosts,
+                r_codes,
+                r_uniq,
                 r_prios,
                 url_hash[restage_idx],
                 r_urls,
@@ -259,25 +291,45 @@ class FrontierShard:
         self._merge_counts(counts)
         return counts
 
-    def _enqueue_staging(self, hosts, prios, hashes, urls, depths) -> None:
+    def _enqueue_staging(
+        self, host_codes, uniq_hosts, prios, hashes, urls, depths
+    ) -> None:
         """Append rows to the wave's staging buffer, grouped by host (salted
-        hosts spread over sub-queues keyed host#j)."""
-        uniq_hosts, inv = np.unique(hosts, return_inverse=True)
+        hosts spread over sub-queues keyed host#j). Hosts arrive as int32
+        dictionary codes + the unique-host list; ``urls`` is an Arrow string
+        Array — runs store (f32[], u64[], pa.Array, i32[])."""
+        single_host = len(uniq_hosts) == 1
         for gi, h in enumerate(uniq_hosts):
-            g = np.flatnonzero(inv == gi)
+            if single_host:
+                g = None  # whole batch — skip the index scan and the takes
+                n_g = len(prios)
+            else:
+                g = np.flatnonzero(host_codes == gi)
+                n_g = len(g)
+                if n_g == 0:
+                    continue
             s_count = self.salted_hosts.get(h, 1)
             if s_count <= 1:
-                self.staging.setdefault(h, []).append(
-                    (prios[g], hashes[g], urls[g], depths[g])
-                )
+                if g is None:
+                    run = (prios, hashes, urls, depths)
+                else:
+                    run = (prios[g], hashes[g], urls.take(pa.array(g)), depths[g])
+                self.staging.setdefault(h, []).append(run)
             else:
-                salt = (hashes[g] % np.uint64(s_count)).astype(np.int64)
+                gh = hashes if g is None else hashes[g]
+                salt = (gh % np.uint64(s_count)).astype(np.int64)
                 for j in np.unique(salt):
-                    sub = g[salt == j]
+                    m = salt == j
+                    sub = np.flatnonzero(m) if g is None else g[m]
                     self.staging.setdefault(f"{h}#{j}", []).append(
-                        (prios[sub], hashes[sub], urls[sub], depths[sub])
+                        (
+                            prios[sub],
+                            hashes[sub],
+                            urls.take(pa.array(sub)),
+                            depths[sub],
+                        )
                     )
-            self._stage_rows += len(g)
+            self._stage_rows += n_g
 
     def _flush_staging(self) -> None:
         """Wave barrier: resolve staged offers (max-priority per url_hash,
@@ -291,11 +343,12 @@ class FrontierShard:
                     runs.extend(pickle.load(f))
             prio = np.concatenate([r[0] for r in runs])
             uh = np.concatenate([r[1] for r in runs])
-            uu = np.concatenate([r[2] for r in runs])
+            uu = _concat_url_runs(runs)
             dd = np.concatenate([r[3] for r in runs])
             if len(runs) > 1:
                 sel = keep_max_per_hash(uh, prio)
-                prio, uh, uu, dd = prio[sel], uh[sel], uu[sel], dd[sel]
+                prio, uh, dd = prio[sel], uh[sel], dd[sel]
+                uu = uu.take(pa.array(sel))
             self.queues.setdefault(qkey, []).append((prio, uh, uu, dd))
             self._mem_rows += len(prio)
         self.staging = {}
@@ -351,7 +404,8 @@ class FrontierShard:
         t = self.wave
         self._flush_staging()
         wave_start = t * wave_duration
-        u_parts, h_parts, host_parts, p_parts, d_parts, s_parts = [], [], [], [], [], []
+        u_parts, h_parts, p_parts, d_parts, s_parts = [], [], [], [], []
+        host_names, host_counts = [], []
         hosts_with_rows = {k for k, q in self.queues.items() if q} | set(self.spilled)
         for qkey in sorted(hosts_with_rows):
             h, _, saltpart = qkey.partition("#")
@@ -396,7 +450,7 @@ class FrontierShard:
                     runs.extend(pickle.load(f))
             prio = np.concatenate([r[0] for r in runs])
             uh = np.concatenate([r[1] for r in runs])
-            uu = np.concatenate([r[2] for r in runs])
+            uu = _concat_url_runs(runs)
             dd = np.concatenate([r[3] for r in runs])
             # (priority desc, url_hash asc) — one vectorized sort per host per
             # wave instead of per-item heap ops
@@ -405,27 +459,39 @@ class FrontierShard:
             rest = order[len(slots):]
             self._mem_rows -= sum(len(r[0]) for r in self.queues.get(qkey, ()))
             if len(rest):
-                self.queues[qkey] = [(prio[rest], uh[rest], uu[rest], dd[rest])]
+                self.queues[qkey] = [
+                    (prio[rest], uh[rest], uu.take(pa.array(rest)), dd[rest])
+                ]
                 self._mem_rows += len(rest)
             else:
                 self.queues.pop(qkey, None)
             k = len(take)
-            u_parts.append(uu[take])
+            u_parts.append(uu.take(pa.array(take)))
             h_parts.append(uh[take])
-            host_parts.append(np.full(k, h, dtype=object))
+            host_names.append(h)
+            host_counts.append(k)
             p_parts.append(prio[take])
             d_parts.append(dd[take])
             s_parts.append(wave_start + slots[:k].astype(np.float64) * delay)
         if u_parts:
-            urls = np.concatenate(u_parts)
+            # URLs stayed Arrow end-to-end: the wave column is a zero-copy
+            # concat of the per-host takes. The host column is #unique-hosts
+            # Python strings repeated, never one object per row.
+            urls_col = pa.concat_arrays(u_parts)
             hashes = np.concatenate(h_parts)
-            hosts = np.concatenate(host_parts)
+            hosts_col = pa.array(
+                np.repeat(np.array(host_names, dtype=object), host_counts),
+                type=pa.string(),
+            )
             prios = np.concatenate(p_parts)
             depths = np.concatenate(d_parts)
             sched = np.concatenate(s_parts)
         else:
-            urls = hashes = hosts = prios = depths = sched = np.empty(0)
-        self._wave_counts["fetched"] = len(urls)
+            urls_col = pa.array([], type=pa.string())
+            hosts_col = pa.array([], type=pa.string())
+            hashes = prios = depths = sched = np.empty(0)
+        n_out = len(urls_col)
+        self._wave_counts["fetched"] = n_out
         self.metrics_rows.append(
             {"partition_id": self.partition_id, "wave": t, **self._wave_counts}
         )
@@ -434,15 +500,15 @@ class FrontierShard:
 
         tbl = pa.table(
             {
-                "url_canon": pa.array(list(urls), type=pa.string()),
+                "url_canon": urls_col,
                 "url_hash": pa.array(hashes.astype(np.uint64)),
-                "host": pa.array(list(hosts), type=pa.string()),
+                "host": hosts_col,
                 "partition_id": pa.array(
-                    np.full(len(urls), self.partition_id, dtype=np.int32)
+                    np.full(n_out, self.partition_id, dtype=np.int32)
                 ),
                 "priority": pa.array(prios.astype(np.float32)),
                 "depth": pa.array(depths.astype(np.int32)),
-                "wave": pa.array(np.full(len(urls), t, dtype=np.int32)),
+                "wave": pa.array(np.full(n_out, t, dtype=np.int32)),
                 "scheduled_t": pa.array(sched.astype(np.float64)),
             },
             schema=WAVE_SCHEMA,
