@@ -62,138 +62,132 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # embed_dedup_clusters — each tagged below), so funnel_depth /
     # profile_orders / anomaly_days / clustered_lookup remain in the record.
     return {
-        # --- crawl pipeline artifacts (exact parity in pytest; every one
-        #     ALSO DuckDB-oracle-checked — doc_stats/span_explode via unnest,
-        #     metrics/seen_set via full SQL replay of the frontier semantics) ---
+        # --- DRIVER WINDOW (first 50 — the driver records exactly these; see
+        #     header comment). r5 rotation: 18 flagship keepers (the crawl
+        #     artifacts + every pipeline whose code changed this round) plus
+        #     ALL 32 registry entries never driver-checked in r1-r4, so the
+        #     union of the r1-r5 driver windows covers the full 116-query
+        #     registry. ---
         "crawl_interleaved_docs": crawl_queries.crawl_interleaved_docs,
-        "pack_documents": text.pack_documents,               # sequence packing: the distributed prefix-sum scan primitive (promoted; crawl_media_context — asof+flatten machinery covered by asof_join + crawl_metrics — moved to the tail)
-        "crawl_metrics": crawl_queries.crawl_metrics,          # full accounting replay
-        "crawl_seen_set": crawl_queries.crawl_seen_set,        # derived-seen oracle
+        "crawl_metrics": crawl_queries.crawl_metrics,  # full accounting replay
+        "crawl_seen_set": crawl_queries.crawl_seen_set,  # derived-seen oracle
+        "agg_q1": relational.agg_pushdown_q1,  # A1/A3 combiner
+        "regional_revenue": relational4.regional_revenue,  # TPC-H-Q5-shape 5-table join
+        "dedup_exact_text": dedup.dedup_exact_text,  # D1
+        "dedup_exact_prefix": dedup.dedup_exact_prefix,  # D1 (dedup_exact_text)
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,  # splitmix-in-SQL oracle
+        "asof_join": relational4.asof_join,  # §2.9 as-of (novel shape — in-window; count_group, its A1 near-dup of agg_q1, moved to the tail)
+        "extract_products": extract.extract_products,  # selector-spec extraction (reference README:11-12)
+        "media_features": multimodal.media_features,  # SQL oracle (byte stats)
+        "text_embeddings": multimodal.text_embeddings,  # full-model SQL twin
+        "pack_documents": text.pack_documents,  # sequence packing: the distributed prefix-sum scan primitive
         "crawl_doc_lookup": crawl_queries.crawl_doc_lookup,
-        "extract_products": extract.extract_products,          # selector-spec extraction (reference README:11-12)
-        "crawl_pagerank": crawl_queries.crawl_pagerank,       # integer fixed-point PageRank over the link graph (new in r4)
-        "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP (new late-r4)
-        "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection (new late-r4)
-        "crawl_seed_distance": crawl_queries.crawl_seed_distance,  # multi-source BFS over the induced link graph, recursive-CTE twin (new late-r4)
-        "crawl_url_clusters": crawl_queries.crawl_url_clusters,  # URL entity resolution: fuzzy pairs → connected components → canonical member (new late-r4)
-        "crawl_redirect_resolve": crawl_queries.crawl_redirect_resolve,  # redirect-chain flattening via pointer doubling, log-round self-joins (new late-r4)
-        # --- relational / reference-storage semantics (SURVEY §2) ---
-        "filter_project": relational.filter_project,          # M3/M4
-        "agg_q1": relational.agg_pushdown_q1,                 # A1/A3 combiner
-        "sort_paginate": relational.sort_paginate,            # O1/O2
-        "anti_join": relational.anti_join,                    # J3
-        "upsert_latest": relational.upsert_last_writer,       # M6
-        "key_derivation": relational.key_derivation,          # M1
-        "window_tumbling": relational.window_tumbling,        # §2.9
-        "asof_join": relational4.asof_join,                   # §2.9 as-of (novel shape — in-window; count_group, its A1 near-dup of agg_q1, moved to the tail)
-        "join_3way_topk": relational2.join_3way_topk,
-        "regional_revenue": relational4.regional_revenue,     # TPC-H-Q5-shape 5-table join (rotated in r4; having_filter/case_when_agg, A1 variants of agg_q1, moved to the tail)
-        "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill (new in r4)
-        "unigram_logprob": text.unigram_logprob,              # CCNet-shape LM quality gate, exact fixed-point (new in r4; token_count_bpe, whose tokenize machinery token_count shows in the tail, moved out)
-        "corr_per_group": relational3.corr_per_group,
-        "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
-        "approx_quantiles_hist": relational4.approx_quantiles_hist,  # mergeable-histogram sketch (rotated in r4)
-        # --- text analysis ---
-        "corpus_curation": text.corpus_curation,               # composed curation pass
-        "decontaminate_ngrams": text.decontaminate_ngrams,     # n-gram train/test decontamination (new in r4)
-        "bm25_topk": text.bm25_topk,                           # ranked keyword retrieval, two-pass corpus stats (new in r4)
-        # --- dedup family ---
-        "dedup_exact_text": dedup.dedup_exact_text,           # D1
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,          # splitmix-in-SQL oracle
-        "dedup_clusters": dedup.dedup_clusters,                # LSH graph + recursive CTE
-        "simhash": dedup.simhash,                              # per-bit-majority SQL oracle
-        "range_join_count": relational4.range_join_count,      # banded range join (in-window; embed_cosine_pairs, the documented brute twin of embed_lsh_pairs, moved to the tail)
-        "embed_lsh_pairs": dedup.embed_lsh_pairs,              # SQL LSH twin
-        # --- similarity search ---
-        "ann_ivf_topk": ann.ann_ivf_topk,                      # SQL IVF twin
-        "kmeans_embed": ann.kmeans_embed,                      # exact fixed-point Lloyd's, unrolled-SQL oracle (new in r4; ann_topk_multi and distinct_count moved to the tail)
-        # --- multimodal (stubbed decode, real plumbing) ---
-        "media_features": multimodal.media_features,           # SQL oracle (byte stats)
-        "text_embeddings": multimodal.text_embeddings,         # full-model SQL twin
-        # --- tail: near-duplicate variants of green siblings above (entries
-        #     past the driver's 50-entry window by design; all are still
-        #     oracle-green via scripts/check_correctness.py + pytest; the r4
-        #     rotation moved regional_revenue / approx_quantiles_hist /
-        #     embed_dedup_clusters / extract_products INTO the window and
-        #     these same-machinery variants out) ---
-        "crawl_triangles": crawl_queries.crawl_triangles,      # oriented-wedge triangle census of the link graph (new in r4, in-window)
-        "zorder_lookup": relational5.zorder_lookup,            # Z-order 2-D clustered layout + box pruning (promoted; gapfill_days, whose spine machinery anomaly_days composes in-window, moved to the tail)
-        "skyline_orders": relational5.skyline_orders,          # Pareto dominance reduction — no sibling covers it (promoted this rotation)
-        "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT, interval-union diff arrays (promoted this rotation)
-        "weighted_sample_orders": relational5.weighted_sample_orders,  # πps weighted sampling — the sampling family's in-window representative (promoted this rotation)
-        "join_size_estimate": relational5.join_size_estimate,  # AMS/CMS sketch algebra + exact verify (promoted; heavy_hitters_cms shares the sketch build, tail)
-        "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning (new in r4)
-        "funnel_depth": relational5.funnel_depth,              # strict-order first-touch funnel, sequential-pattern machinery (back in-window this rotation)
-        "profile_orders": relational5.profile_orders,          # one-pass per-column data-profiling census (new in r4)
-        "anomaly_days": relational5.anomaly_days,              # robust median/MAD anomaly days over the gap-filled series (new in r4)
-        "clustered_lookup": relational5.clustered_lookup,      # range-clustered layout + manifest-pruned range read (new in r4)
-        "activity_islands": relational5.activity_islands,      # interval-union gaps-and-islands accounting (new late-r4; enters at position 51, tail)
-        "crawl_compacted_docs": crawl_queries.crawl_compacted_docs,  # small-file compaction identity check over the crawl layout (new late-r4)
-        "cohort_retention": relational5.cohort_retention,      # weekly cohort-retention matrix, user-partition-complete partials (new in r4)
-        "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph (new in r4)
-        "winsorize_events": relational5.winsorize_events,      # per-type quantile clip with exact integer cents verification sums (new in r4)
-        "event_transitions": relational5.event_transitions,    # clickstream Markov transition matrix, partition-local ordered pairs (new late-r4)
-        "bloom_semi_join": relational.bloom_semi_join,         # mergeable bloom sketch build → broadcast prefilter → exact confirm (new late-r4)
-        "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of (demoted this rotation: asof_join + crawl_metrics carry the machinery)
-        "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge (new late-r4)
-        "gapfill_days": relational5.gapfill_days,              # dense-spine zero-fill (demoted this rotation: anomaly_days composes it in-window)
-        "chunk_documents": text.chunk_documents,               # overlapping RAG chunker, chunk-ordinal-vectorized flat-map (new late-r4)
+        "filter_project": relational.filter_project,  # M3/M4
+        "key_derivation": relational.key_derivation,  # M1
+        "sort_paginate": relational.sort_paginate,  # O1/O2
+        "window_tumbling": relational.window_tumbling,  # §2.9
+        # --- the 32 never-before-driver-checked entries (r5 promotion) ---
+        "clustered_lookup": relational5.clustered_lookup,  # range-clustered layout + manifest-pruned range read
+        "activity_islands": relational5.activity_islands,  # interval-union gaps-and-islands accounting
+        "crawl_compacted_docs": crawl_queries.crawl_compacted_docs,  # small-file compaction identity check over the crawl layout
+        "cohort_retention": relational5.cohort_retention,  # weekly cohort-retention matrix, user-partition-complete partials
+        "crawl_host_linkage": crawl_queries.crawl_host_linkage,  # per-host intra/inter link assortativity over the induced graph
+        "winsorize_events": relational5.winsorize_events,  # per-type quantile clip with exact integer cents verification sums
+        "event_transitions": relational5.event_transitions,  # clickstream Markov transition matrix, partition-local ordered pairs
+        "bloom_semi_join": relational.bloom_semi_join,  # mergeable bloom sketch build → broadcast prefilter → exact confirm
+        "crawl_media_context": crawl_queries.crawl_media_context,  # span-level caption as-of
+        "incremental_agg_refresh": relational5.incremental_agg_refresh,  # materialized-view refresh: persisted mergeable state + delta-only merge
+        "gapfill_days": relational5.gapfill_days,  # dense-spine zero-fill
+        "chunk_documents": text.chunk_documents,  # overlapping RAG chunker, chunk-ordinal-vectorized flat-map
         "crawl_refresh_plan": crawl_queries.crawl_refresh_plan,  # pagerank+indeg composition (crawl_pagerank carries the Pregel machinery; demoted this rotation)
-        "bigram_pmi": text.bigram_pmi,                         # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
-        "crawl_curation": crawl_queries.crawl_curation,        # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
-        "embed_dedup_clusters": dedup.embed_dedup_clusters,    # SemDeDup clusters (CC machinery in-window via dedup_clusters + crawl_url_clusters; demoted this rotation)
-        "ann_topk": ann.ann_topk,                              # brute ANN baseline (ann_ivf_topk in-window carries the scoring machinery; recall-tested; demoted this rotation)
-        "cooccur_parts": relational4.cooccur_parts,            # basket pair mining (crawl_fuzzy_url_pairs in-window carries partition-local pair expansion + skew cap; demoted this rotation)
-        "mode_per_group": relational5.mode_per_group,          # grouped mode (argmax machinery; demoted this rotation)
-        "heavy_hitters_cms": relational5.heavy_hitters_cms,    # CMS top-k (join_size_estimate in-window carries the same sketch build + inner-product algebra; demoted this rotation)
-        "quality_score": text.quality_score,                   # (corpus_curation composes quality+lang; demoted late-r4 rotation)
-        "broadcast_join_agg": relational.broadcast_join_agg,   # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
-        "topk_per_group": relational3.topk_per_group,          # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
-        "repetition_ngrams": text.repetition_ngrams,           # Gopher repetition signals (n-gram kernel family of decontaminate/token ops; demoted late-r4 rotation)
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,      # exact-Jaccard baseline (minhash_lsh_pairs verifies the same statistic; demoted late-r4 rotation)
-        "crawl_doc_stats": crawl_queries.crawl_doc_stats,      # (crawl_metrics/span machinery subset; demoted r4 rotation)
-        "semi_join": relational.semi_join,                     # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
-        "json_filter": relational.json_filter,                 # M4 dot-notation (filter_project variant; demoted r4 rotation)
-        "sessionize": relational2.sessionize,                  # §2.9 (ordered-gap machinery of window_sliding/asof; demoted r4 rotation)
-        "quantiles_per_group": relational3.quantiles_per_group,  # (exact twin of approx_quantiles_hist; demoted r4 rotation)
-        "tfidf_top_terms": text.tfidf_top_terms,               # corpus-df keywords (bm25_topk contains the df machinery; demoted r4 rotation)
-        "lang_id": text.lang_id,                               # (corpus_curation composes lang+quality; demoted r4 rotation)
-        "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
-        "token_count_bpe": relational2.token_count_bpe,        # BPE-ish regex tokens (token_count sibling; demoted r4)
-        "label_centroids": ann.label_centroids,                # grouped-vector aggregate, exact fixed point (new in r4)
-        "ntile_orders": relational4.ntile_orders,              # ntile/percent_rank ranking windows (new in r4)
-        "crawl_span_signature": crawl_queries.crawl_span_signature,  # ordered span-kind collect over the interleaved payload (new in r4)
-        "crawl_host_url_list": crawl_queries.crawl_host_url_list,    # per-host ordered string_agg roster (new in r4)
-        "ann_topk_multi": ann.ann_topk_multi,                  # batched multi-query serving shape (ann_topk sibling; demoted r4)
-        "distinct_count": relational2.distinct_count,          # (exact twin of approx_distinct_hll; demoted r4)
-        "having_filter": relational2.having_filter,            # A1 (agg_q1 variant)
-        "case_when_agg": relational2.case_when_agg,            # A1 (agg_q1 variant)
-        "random_sample": text.random_sample,                   # (deterministic_sample twin)
-        "media_chunks": multimodal.media_chunks,               # (media_features sibling)
-        "topk_orders": relational.topk,                        # O2 (join_3way_topk, topk_per_group)
-        "token_count": text.token_count,                       # (quality_score.n_tokens)
-        "window_sliding": relational2.window_sliding,          # §2.9 (window_tumbling)
-        "doc_fingerprint": text.doc_fingerprint,               # (rolling_fingerprint)
-        "dedup_exact_prefix": dedup.dedup_exact_prefix,        # D1 (dedup_exact_text)
-        "dedup_clusters_exact": dedup.dedup_clusters_exact,    # (dedup_clusters)
-        "union_distinct": relational.union_distinct,          # D3 (distinct machinery of distinct_count; demoted r4)
-        "date_funcs": relational2.date_funcs,                 # §2.8 (string_funcs sibling; demoted r4)
-        "rolling_fingerprint": text.rolling_hash_fingerprint, # min-FNV (shared_passage_pairs winnowing sibling; demoted r4)
-        "media_resize_plan": multimodal.media_resize_plan,    # (media_features sibling; demoted r4)
-        "string_funcs": relational2.string_funcs,             # §2.8 F1 (key_derivation machinery; demoted r4)
-        "rolling_mean": relational3.rolling_mean,             # ordered window (window_sliding/sessionize machinery; demoted r4)
-        # --- round-3 additions: time joins (asof_join sits in-window above),
-        #     pivot/rollup, histogram-sketch quantiles ---
-        "count_group": relational.count_group,                # A1 (agg_q1)
-        "deterministic_sample": text.deterministic_sample,    # (random_sample)
-        "embed_cosine_pairs": dedup.embed_cosine_pairs,       # (embed_lsh_pairs brute twin)
+        "bigram_pmi": text.bigram_pmi,  # PMI collocations (unigram_logprob carries the quantized-ln machinery; demoted this rotation)
+        "embed_dedup_clusters": dedup.embed_dedup_clusters,  # SemDeDup clusters (CC machinery in-window via dedup_clusters + crawl_url_clusters; demoted this rotation)
+        "cooccur_parts": relational4.cooccur_parts,  # basket pair mining (crawl_fuzzy_url_pairs in-window carries partition-local pair expansion + skew cap; demoted this rotation)
+        "mode_per_group": relational5.mode_per_group,  # grouped mode (argmax machinery; demoted this rotation)
+        "heavy_hitters_cms": relational5.heavy_hitters_cms,  # CMS top-k (join_size_estimate in-window carries the same sketch build + inner-product algebra; demoted this rotation)
+        "repetition_ngrams": text.repetition_ngrams,  # Gopher repetition signals (n-gram kernel family of decontaminate/token ops; demoted late-r4 rotation)
+        "tfidf_top_terms": text.tfidf_top_terms,  # corpus-df keywords (bm25_topk contains the df machinery; demoted r4 rotation)
+        "label_centroids": ann.label_centroids,  # grouped-vector aggregate, exact fixed point
+        "ntile_orders": relational4.ntile_orders,  # ntile/percent_rank ranking windows
+        "crawl_span_signature": crawl_queries.crawl_span_signature,  # ordered span-kind collect over the interleaved payload
+        "crawl_host_url_list": crawl_queries.crawl_host_url_list,  # per-host ordered string_agg roster
+        "ann_topk_multi": ann.ann_topk_multi,  # batched multi-query serving shape (ann_topk sibling; demoted r4)
         "stratified_sample": relational4.stratified_sample,
-        "shared_passage_pairs": text.shared_passage_pairs,    # winnowing passage dedup
-        "left_join_counts": relational4.left_join_counts,     # left-outer + zero-fill
+        "shared_passage_pairs": text.shared_passage_pairs,  # winnowing passage dedup
+        "left_join_counts": relational4.left_join_counts,  # left-outer + zero-fill
         "crawl_link_popularity": crawl_queries.crawl_link_popularity,  # in-degree top-k
         "pivot_orders": relational4.pivot_orders,
         "rollup_orders": relational4.rollup_orders,
-        "crawl_host_stats": crawl_queries.crawl_host_stats,   # per-host operational view
+        "crawl_host_stats": crawl_queries.crawl_host_stats,  # per-host operational view
+        # --- tail: past the driver's 50-entry window by design; every entry
+        #     is still oracle-checked via scripts/check_correctness.py --all
+        #     (committed per-round as SWEEP_r5.json) and the pytest suite. ---
+        "crawl_pagerank": crawl_queries.crawl_pagerank,  # integer fixed-point PageRank over the link graph
+        "crawl_fuzzy_url_pairs": crawl_queries.crawl_fuzzy_url_pairs,  # blocked edit-distance similarity self-join, band-limited vectorized DP
+        "crawl_url_templates": crawl_queries.crawl_url_templates,  # URL path-template mining / trap detection
+        "crawl_seed_distance": crawl_queries.crawl_seed_distance,  # multi-source BFS over the induced link graph, recursive-CTE twin
+        "crawl_url_clusters": crawl_queries.crawl_url_clusters,  # URL entity resolution: fuzzy pairs → connected components → canonical member
+        "crawl_redirect_resolve": crawl_queries.crawl_redirect_resolve,  # redirect-chain flattening via pointer doubling, log-round self-joins
+        "anti_join": relational.anti_join,  # J3
+        "upsert_latest": relational.upsert_last_writer,  # M6
+        "join_3way_topk": relational2.join_3way_topk,
+        "full_outer_activity": relational4.full_outer_activity,  # FULL OUTER join, both-sides fill
+        "unigram_logprob": text.unigram_logprob,  # CCNet-shape LM quality gate, exact fixed-point
+        "corr_per_group": relational3.corr_per_group,
+        "approx_distinct_hll": relational3.approx_distinct_hll,  # HLL-in-SQL oracle
+        "approx_quantiles_hist": relational4.approx_quantiles_hist,  # mergeable-histogram sketch
+        "corpus_curation": text.corpus_curation,  # composed curation pass
+        "decontaminate_ngrams": text.decontaminate_ngrams,  # n-gram train/test decontamination
+        "bm25_topk": text.bm25_topk,  # ranked keyword retrieval, two-pass corpus stats
+        "dedup_clusters": dedup.dedup_clusters,  # LSH graph + recursive CTE
+        "simhash": dedup.simhash,  # per-bit-majority SQL oracle
+        "range_join_count": relational4.range_join_count,  # banded range join (in-window; embed_cosine_pairs, the documented brute twin of embed_lsh_pairs, moved to the tail)
+        "embed_lsh_pairs": dedup.embed_lsh_pairs,  # SQL LSH twin
+        "ann_ivf_topk": ann.ann_ivf_topk,  # SQL IVF twin
+        "kmeans_embed": ann.kmeans_embed,  # exact fixed-point Lloyd's, unrolled-SQL oracle
+        "crawl_triangles": crawl_queries.crawl_triangles,  # oriented-wedge triangle census of the link graph
+        "zorder_lookup": relational5.zorder_lookup,  # Z-order 2-D clustered layout + box pruning
+        "skyline_orders": relational5.skyline_orders,  # Pareto dominance reduction — no sibling covers it
+        "rolling_distinct_users": relational5.rolling_distinct_users,  # exact windowed DISTINCT, interval-union diff arrays
+        "weighted_sample_orders": relational5.weighted_sample_orders,  # πps weighted sampling — the sampling family's in-window representative
+        "join_size_estimate": relational5.join_size_estimate,  # AMS/CMS sketch algebra + exact verify
+        "global_rank_orders": relational5.global_rank_orders,  # exact distributed global row_number, TeraSort range partitioning
+        "funnel_depth": relational5.funnel_depth,  # strict-order first-touch funnel, sequential-pattern machinery
+        "profile_orders": relational5.profile_orders,  # one-pass per-column data-profiling census
+        "anomaly_days": relational5.anomaly_days,  # robust median/MAD anomaly days over the gap-filled series
+        "crawl_curation": crawl_queries.crawl_curation,  # fetch→decompose→curate composition (corpus_curation in-window; demoted this rotation)
+        "ann_topk": ann.ann_topk,  # brute ANN baseline (ann_ivf_topk in-window carries the scoring machinery; recall-tested; demoted this rotation)
+        "quality_score": text.quality_score,  # (corpus_curation composes quality+lang; demoted late-r4 rotation)
+        "broadcast_join_agg": relational.broadcast_join_agg,  # star join (join_3way_topk/regional_revenue carry the broadcast-dim machinery; demoted late-r4 rotation)
+        "topk_per_group": relational3.topk_per_group,  # (join_3way_topk/ntile machinery; demoted late-r4 rotation)
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # exact-Jaccard baseline (minhash_lsh_pairs verifies the same statistic; demoted late-r4 rotation)
+        "crawl_doc_stats": crawl_queries.crawl_doc_stats,  # (crawl_metrics/span machinery subset; demoted r4 rotation)
+        "semi_join": relational.semi_join,  # J1 (broadcast-key twin of anti_join; demoted r4 rotation)
+        "json_filter": relational.json_filter,  # M4 dot-notation (filter_project variant; demoted r4 rotation)
+        "sessionize": relational2.sessionize,  # §2.9 (ordered-gap machinery of window_sliding/asof; demoted r4 rotation)
+        "quantiles_per_group": relational3.quantiles_per_group,  # (exact twin of approx_quantiles_hist; demoted r4 rotation)
+        "lang_id": text.lang_id,  # (corpus_curation composes lang+quality; demoted r4 rotation)
+        "crawl_span_explode": crawl_queries.crawl_span_explode,  # zero-copy flatten (contained in crawl_media_context's machinery; demoted r4)
+        "token_count_bpe": relational2.token_count_bpe,  # BPE-ish regex tokens (token_count sibling; demoted r4)
+        "distinct_count": relational2.distinct_count,  # (exact twin of approx_distinct_hll; demoted r4)
+        "having_filter": relational2.having_filter,  # A1 (agg_q1 variant)
+        "case_when_agg": relational2.case_when_agg,  # A1 (agg_q1 variant)
+        "random_sample": text.random_sample,  # (deterministic_sample twin)
+        "media_chunks": multimodal.media_chunks,  # (media_features sibling)
+        "topk_orders": relational.topk,  # O2 (join_3way_topk, topk_per_group)
+        "token_count": text.token_count,  # (quality_score.n_tokens)
+        "window_sliding": relational2.window_sliding,  # §2.9 (window_tumbling)
+        "doc_fingerprint": text.doc_fingerprint,  # (rolling_fingerprint)
+        "dedup_clusters_exact": dedup.dedup_clusters_exact,  # (dedup_clusters)
+        "union_distinct": relational.union_distinct,  # D3 (distinct machinery of distinct_count; demoted r4)
+        "date_funcs": relational2.date_funcs,  # §2.8 (string_funcs sibling; demoted r4)
+        "rolling_fingerprint": text.rolling_hash_fingerprint,  # min-FNV (shared_passage_pairs winnowing sibling; demoted r4)
+        "media_resize_plan": multimodal.media_resize_plan,  # (media_features sibling; demoted r4)
+        "string_funcs": relational2.string_funcs,  # §2.8 F1 (key_derivation machinery; demoted r4)
+        "rolling_mean": relational3.rolling_mean,  # ordered window (window_sliding/sessionize machinery; demoted r4)
+        "count_group": relational.count_group,  # A1 (agg_q1)
+        "deterministic_sample": text.deterministic_sample,  # (random_sample)
+        "embed_cosine_pairs": dedup.embed_cosine_pairs,  # (embed_lsh_pairs brute twin)
     }
 
 
@@ -1047,7 +1041,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             r AS (
               SELECT doc_id, s.kind AS kind, s.text AS text,
-                     s.media_ref AS media_ref, pos,
+                     s.media_ref AS media_ref, s."offset" AS s_off, pos,
                      row_number() OVER (PARTITION BY doc_id, s.kind ORDER BY pos) - 1 AS occ
               FROM e
             )
@@ -1056,12 +1050,26 @@ def oracle_sql() -> dict[str, str]:
                    NULLIF(regexp_extract(t0.text, '^(\\w+)', 1), '') AS brand,
                    i0.media_ref AS first_image,
                    COALESCE(ic.n, 0) AS n_images,
-                   COALESCE(lc.n, 0) AS n_links
+                   COALESCE(lc.n, 0) AS n_links,
+                   '{{"sku":'
+                     || COALESCE('"' || NULLIF(regexp_extract(t0.text, '(\\w+)$', 1), '') || '"', 'null')
+                     || ',"store":'
+                     || COALESCE('"' || NULLIF(regexp_extract(l0.media_ref, '^https?://([a-zA-Z0-9_.-]+)', 1), '') || '"', 'null')
+                     || '}}' AS identifiers,
+                   COALESCE(v.arr, '[]') AS variants
             FROM (SELECT doc_id FROM {crawl_docs}) d
             LEFT JOIN (SELECT doc_id, text FROM r WHERE kind='text' AND occ=0) t0 USING (doc_id)
             LEFT JOIN (SELECT doc_id, media_ref FROM r WHERE kind='image' AND occ=0) i0 USING (doc_id)
+            LEFT JOIN (SELECT doc_id, media_ref FROM r WHERE kind='link' AND occ=0) l0 USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM r WHERE kind='image' GROUP BY doc_id) ic USING (doc_id)
             LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM r WHERE kind='link' GROUP BY doc_id) lc USING (doc_id)
+            LEFT JOIN (
+              SELECT doc_id,
+                     '[' || string_agg(
+                       '{{"ref":"' || COALESCE(media_ref, '') || '","pos":' || s_off || '}}',
+                       ',' ORDER BY pos) || ']' AS arr
+              FROM r WHERE kind='image' GROUP BY doc_id
+            ) v USING (doc_id)
         """,
         # full replay of the frontier's per-(partition, wave) accounting from
         # the docs parquet alone: offer events = link occurrences (parent

@@ -116,15 +116,18 @@ def exact_survivors(docs, num_partitions: int = 32):
             }
         )
 
-    def min_per_part(df: pd.DataFrame) -> pd.DataFrame:
-        # (k, text): k leads so the pandas groupby stays cheap; text breaks
-        # the (astronomically rare, but oracle-visible) 64-bit collisions
-        return df.groupby(["k", "text"], as_index=False)["doc_id"].min()[["doc_id"]]
+    def min_per_part(t: pa.Table) -> pa.Table:
+        # (k, text): k leads so the hash-groupby stays cheap; text breaks
+        # the (astronomically rare, but oracle-visible) 64-bit collisions.
+        # Arrow hash aggregation — the wide text column never converts to
+        # pandas objects.
+        g = t.group_by(["k", "text"]).aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": g["doc_id_min"]})
 
     return (
         docs.map_batches(key, batch_format="pyarrow")
         .groupby("kp")
-        .map_groups(min_per_part, batch_format="pandas")
+        .map_groups(min_per_part, batch_format="pyarrow")
     )
 
 
@@ -139,17 +142,25 @@ def dedup_exact_prefix(sf_dir: str, n_tokens: int = 5):
     groups on this corpus). Same shape as dedup_exact_text."""
     ds = _read_docs(sf_dir)
 
-    def key(df: pd.DataFrame) -> pd.DataFrame:
-        pref = (
-            df["text"]
-            .str.lower()
-            .str.findall(_TOKEN_RE)
-            .map(lambda t: " ".join(t[:n_tokens]))
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # vectorized prefix key: lowercase → collapse non-alnum runs to one
+        # space → trim → first n_tokens via one Arrow regex extract. Same
+        # value as " ".join(findall([a-z0-9]+)[:n]) without per-row Python.
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t["text"]), "[^a-z0-9]+", " "
+            )
         )
-        return pd.DataFrame({"k": pref, "doc_id": df["doc_id"]})
+        pref = pc.extract_regex(
+            norm, rf"^(?P<p>(?:[a-z0-9]+ ){{0,{n_tokens - 1}}}[a-z0-9]+)"
+        )
+        k = pc.fill_null(pc.struct_field(pref, "p"), "")
+        return pa.table({"k": k, "doc_id": t["doc_id"]})
 
     return (
-        ds.map_batches(key, batch_format="pandas")
+        ds.map_batches(key, batch_format="pyarrow")
         .groupby("k")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])

@@ -121,7 +121,19 @@ class PayloadDecoder:
         sx = cs[ends] - cs[starts]
         sx2 = cs2[ends] - cs2[starts]
         means = sx / eff
-        var = (eff * sx2 - sx * sx) / (eff * eff)  # ≥ 0 exactly (ints)
+        # n·Σx²−(Σx)² overflows int64 once eff·sx2 > 2^63 (payloads beyond
+        # ~10 MB: eff²·255² > 2^63) — route oversized rows through exact
+        # Python big-ints (rare by construction: payload rows are capped by
+        # batch sizing long before 10 MB, so the loop is cold)
+        big = lens > 10_000_000
+        var = np.zeros(len(lens), dtype=np.float64)
+        small = ~big
+        var[small] = (
+            eff[small] * sx2[small] - sx[small] * sx[small]
+        ) / (eff[small] * eff[small])  # ≥ 0 exactly (ints)
+        for i in np.flatnonzero(big):
+            e, s1, s2 = int(eff[i]), int(sx[i]), int(sx2[i])
+            var[i] = (e * s2 - s1 * s1) / (e * e)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -61,15 +61,25 @@ def agg_pushdown_q1(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            p_sum_qty=("l_quantity", "sum"),
-            p_sum_base=("l_extendedprice", "sum"),
-            p_count=("l_quantity", "size"),
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_quantity", "count"),
+            ]
         )
-        return g
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "p_sum_qty": g["l_quantity_sum"],
+                "p_sum_base": g["l_extendedprice_sum"],
+                "p_count": g["l_quantity_count"],
+            }
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)

@@ -504,16 +504,18 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
-    def tag_region(df: pd.DataFrame) -> pd.DataFrame:
-        idx = np.searchsorted(nk_keys, df["c_nationkey"].to_numpy())
-        return pd.DataFrame(
-            {"c_custkey": df["c_custkey"].to_numpy(), "rk": nk_rk[idx]}
+    def tag_region(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow fact scan: nationkey → regionkey via the broadcast
+        # sorted nation keys (searchsorted), custkey passes through untouched
+        idx = np.searchsorted(
+            nk_keys, t["c_nationkey"].to_numpy(zero_copy_only=False)
         )
+        return pa.table({"c_custkey": t["c_custkey"], "rk": pa.array(nk_rk[idx])})
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     # join 1 (narrow): orders ⋈ customer on custkey → (o_orderkey, rk)
     orders_rk = orders.join(
-        cust.map_batches(tag_region, batch_format="pandas"),
+        cust.map_batches(tag_region, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=n_join_parts,
         on=("o_custkey",),
@@ -522,19 +524,15 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def narrow_li(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_orderkey": df["l_orderkey"].to_numpy(),
-                "rev": (
-                    df["l_extendedprice"].to_numpy()
-                    * (1.0 - df["l_discount"].to_numpy())
-                ),
-            }
+    def narrow_li(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": pa.array(price * (1.0 - disc))}
         )
 
     # join 2 (the one big exchange): lineitem ⋈ orders on orderkey
-    joined = li.map_batches(narrow_li, batch_format="pandas").join(
+    joined = li.map_batches(narrow_li, batch_format="pyarrow").join(
         orders_rk,
         join_type="inner",
         num_partitions=n_join_parts,
@@ -542,12 +540,9 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
         right_on=("o_orderkey",),
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            pd.DataFrame({"rk": df["rk"].to_numpy(), "rev": df["rev"].to_numpy()})
-            .groupby("rk", as_index=False)["rev"]
-            .sum()
-        )
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["rk"]).aggregate([("rev", "sum")])
+        return pa.table({"rk": g["rk"], "rev": g["rev_sum"]})
 
     from ..functions.agg import final_agg
 
@@ -560,7 +555,7 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
         )
 
     return final_agg(
-        joined.map_batches(partial, batch_format="pandas", batch_size=65536),
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         keys=["rk"],
         sums={"revenue": "rev"},
         finalize=finalize,

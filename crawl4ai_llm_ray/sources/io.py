@@ -345,10 +345,11 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
     ]
     n_total = len(man["files"])
     if not files:
-        # preserve the caller's requested schema, not just the key column
-        cols = list(columns) if columns else [key_col]
+        # preserve the caller's requested schema WITH the real column types
+        # (from any manifest file's parquet footer — a hardcoded int64 would
+        # break unions/joins on string columns downstream)
         empty = rd.from_arrow(
-            pa.table({c: pa.array([], pa.int64()) for c in cols})
+            _empty_pruned_table(man["files"], columns or [key_col])
         )
         return empty, 0, n_total
     ds = rd.read_parquet(files, columns=columns)
@@ -359,6 +360,30 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
         return t.filter(pa.array(keep))
 
     return ds.map_batches(residual, batch_format="pyarrow"), len(files), n_total
+
+
+def _empty_pruned_table(manifest_files: list, cols: list[str]) -> pa.Table:
+    """Zero-row table for the all-files-pruned path, typed from a real
+    parquet footer of the layout (falls back to int64 only when the layout
+    itself is empty). One footer read — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    schema = None
+    for e in manifest_files:
+        try:
+            schema = pq.read_schema(e["file"])
+            break
+        except (OSError, KeyError):
+            continue
+    fields = []
+    for c in cols:
+        if schema is not None and schema.get_field_index(c) >= 0:
+            fields.append(schema.field(c))
+        else:
+            fields.append(pa.field(c, pa.int64()))
+    return pa.Table.from_arrays(
+        [pa.array([], f.type) for f in fields], schema=pa.schema(fields)
+    )
 
 
 def _part1by1(v: "np.ndarray") -> "np.ndarray":
@@ -475,10 +500,10 @@ def read_clustered_box(path: str, preds: dict, columns=None):
     ]
     n_total = len(man["files"])
     if not files:
-        # preserve the caller's requested schema, not just the pred columns
-        cols = list(columns) if columns else list(preds)
+        # preserve the caller's requested schema WITH the real column types
+        # (see _empty_pruned_table — hardcoded int64 broke string columns)
         empty = rd.from_arrow(
-            pa.table({c: pa.array([], pa.int64()) for c in cols})
+            _empty_pruned_table(man["files"], columns or list(preds))
         )
         return empty, 0, n_total
     ds = rd.read_parquet(files, columns=columns)

@@ -112,8 +112,8 @@ class CuckooFilter:
     def _kick_insert(self, idx: int, f: int) -> None:
         # seed MUST be nonzero: 0 is the xorshift fixed point (idx == f can
         # produce it), which would degenerate victim choice to slot 0 forever
-        # and cycle to a spurious "filter full" at low load — mix in a golden
-        # constant so the state starts nonzero for every (idx, f)
+        # and cycle to a spurious "filter full" at low load — force the MSB
+        # on so the state is nonzero for every (idx, f)
         rng_state = (np.uint64(idx) ^ np.uint64(f)) | np.uint64(1) << np.uint64(63)
         buckets = self.buckets
         bs = self.bucket_size

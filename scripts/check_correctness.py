@@ -3,6 +3,11 @@ at a given sf and compare against oracle_sql() via DuckDB (row count, sorted
 column names, order-insensitive value hash). Usage:
 
     python scripts/check_correctness.py [sf_dir] [query ...]
+    python scripts/check_correctness.py --json SWEEP_r5.json [sf_dir]
+
+--json writes the full per-query result map (the same shape as the driver's
+CORRECTNESS_r{N}.json) so each round commits a whole-registry sweep artifact
+instead of relying on the driver's 50-entry window.
 """
 
 from __future__ import annotations
@@ -36,8 +41,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -56,6 +67,7 @@ def main() -> int:
     qs = e.queries()
     sqls = e.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,25 +77,58 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "err": f"{type(ex).__name__}: {ex}",
+            }
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok?   {name}: rows={len(got)} cols={sorted(got.columns)} ({dt:.1f}s) [rows-only]")
+            results[name] = {
+                "rows_match": len(got) >= 0,
+                "schema_match": None,
+                "hash_match": None,
+                "ray_rows": len(got),
+                "sec": round(dt, 2),
+                "err": None,
+                "note": "rows-only (no oracle_sql entry)",
+            }
             continue
         want = con.sql(sqls[name]).df()
         problems = []
-        if len(got) != len(want):
+        rows_ok = len(got) == len(want)
+        cols_ok = sorted(got.columns) == sorted(want.columns)
+        hash_ok = cols_ok and value_hash(got) == value_hash(want)
+        if not rows_ok:
             problems.append(f"rows {len(got)} != {len(want)}")
-        if sorted(got.columns) != sorted(want.columns):
+        if not cols_ok:
             problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
-        elif value_hash(got) != value_hash(want):
+        elif not hash_ok:
             problems.append("value-hash mismatch")
+        results[name] = {
+            "rows_match": rows_ok,
+            "schema_match": cols_ok,
+            "hash_match": hash_ok,
+            "ray_rows": len(got),
+            "oracle_rows": len(want),
+            "sec": round(dt, 2),
+            "err": None,
+        }
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} ({dt:.1f}s)")
         else:
             print(f"PASS  {name}: rows={len(got)} ({dt:.1f}s)")
     ray.shutdown()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": results}, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries, {failures} failures)")
     return 1 if failures else 0
 
 

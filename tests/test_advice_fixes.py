@@ -291,3 +291,70 @@ class TestKitchenSinkParity:
             delay = rules.get(host, ((), 1.0))[1]
             for a, b in zip(times, times[1:]):
                 assert b - a >= delay - 1e-9, (host, delay, a, b)
+
+
+class TestR5AdviceFixes:
+    def test_media_byte_std_no_int64_overflow_big_payload(self):
+        """ADVICE r4: eff*sx2 - sx*sx overflows int64 for payloads past
+        ~10 MB — the big-row path must produce the exact big-int variance,
+        never a negative/NaN std."""
+        from crawl4ai_llm_ray.pipelines.multimodal import PayloadDecoder
+
+        rng = np.random.default_rng(7)
+        big = rng.integers(0, 256, size=11_000_001, dtype=np.uint8).tobytes()
+        small = bytes([1, 2, 3, 4])
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "media_kind": pa.array(["image", "image"]),
+                "payload": pa.array([big, small], pa.binary()),
+            }
+        )
+        out = PayloadDecoder()(batch)
+        stds = out["byte_std"].to_pylist()
+        means = out["byte_mean"].to_pylist()
+        assert all(s == s and s >= 0 for s in stds)  # no NaN, no negative
+        # exact python-int oracle for the big row
+        data = np.frombuffer(big, dtype=np.uint8)
+        n = len(data)
+        s1 = int(data.astype(np.int64).sum())
+        s2 = int((data.astype(np.int64) ** 2).sum())
+        var = (n * s2 - s1 * s1) / (n * n)
+        assert abs(stds[0] - round(var**0.5, 2)) <= 0.01
+        assert abs(means[0] - round(s1 / n, 2)) <= 0.01
+
+    def test_clustered_zero_file_prune_preserves_string_schema(self, tmp_path, ray_session):
+        """ADVICE r4: the all-files-pruned path must type requested columns
+        from the real parquet footer (a string column typed int64 broke
+        downstream unions)."""
+        import ray
+
+        import pandas as pd
+
+        from crawl4ai_llm_ray.sources.io import (
+            read_clustered_range,
+            write_clustered,
+        )
+
+        n = 1000
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "key": np.arange(n, dtype=np.int64),
+                    "name": [f"row-{i}" for i in range(n)],
+                }
+            )
+        )
+        out = str(tmp_path / "clustered_str")
+        write_clustered(ds, out, "key", n_ranges=4, sample_stride=8)
+        empty, n_read, _ = read_clustered_range(
+            out, 10**9, 2 * 10**9, columns=["key", "name"]
+        )
+        assert n_read == 0
+        sch = empty.schema()
+        types = dict(zip(sch.names, sch.types))
+        assert str(types["name"]) == "string"
+        assert str(types["key"]) == "int64"
+        # and it unions cleanly with a real read (the failure mode)
+        full, _, _ = read_clustered_range(out, 0, 10, columns=["key", "name"])
+        assert full.union(empty).count() == 11

@@ -95,8 +95,11 @@ def test_empty_batch_keeps_schema():
     assert out.num_rows == 0
     assert out.column_names == [
         "doc_id", "title", "brand", "first_image", "n_images", "n_links",
+        "identifiers", "variants",
     ]
     assert out["n_images"].type == pa.int64()
+    assert out["identifiers"].type == pa.string()
+    assert out["variants"].type == pa.string()
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -129,3 +132,33 @@ def test_engine_extraction_stage_threads_model_settings():
     )
     assert list(out.columns) == ["links"]
     assert out.loc["a", "links"] == 2 and out.loc["b", "links"] == 0
+
+
+def test_nested_map_and_list_specs():
+    """MapSpec/ListSpec (reference identifiers/variants, models.py:55-61):
+    canonical JSON strings, null sub-values -> JSON null, empty list -> []."""
+    t = _docs(
+        [
+            (
+                "d0",
+                [
+                    _span("text", "acme widget", offset=0),
+                    _span("image", media_ref="http://cdn/a.jpg", offset=11),
+                    _span("image", media_ref="http://cdn/b.jpg", offset=20),
+                    _span("link", media_ref="http://shop.test/x", offset=31),
+                ],
+            ),
+            ("d1", [_span("image", media_ref="img://only", offset=3)]),
+            ("d2", []),
+        ]
+    )
+    out = extract_table(t, PRODUCT_SPEC).to_pandas().set_index("doc_id")
+    assert out.loc["d0", "identifiers"] == '{"sku":"widget","store":"shop.test"}'
+    assert (
+        out.loc["d0", "variants"]
+        == '[{"ref":"http://cdn/a.jpg","pos":11},{"ref":"http://cdn/b.jpg","pos":20}]'
+    )
+    # no text span and no link span: both identifier entries null
+    assert out.loc["d1", "identifiers"] == '{"sku":null,"store":null}'
+    assert out.loc["d1", "variants"] == '[{"ref":"img://only","pos":3}]'
+    assert out.loc["d2", "variants"] == "[]"
