@@ -1220,23 +1220,61 @@ def fuzzy_pairs_blocked(
                 int(over.sum()), max_block, int(counts.max()), max_block,
             )
             counts = np.minimum(counts, max_block)
-        gid, li, lj = _pair_indices(counts)
-        if not len(gid):
-            return empty
-        pi = starts[gid] + li
-        pj = starts[gid] + lj
         M, lens = _padded_bytes(pa.array(strs, pa.string()))
-        keep = np.abs(lens[pi] - lens[pj]) <= max_dist
-        pi, pj = pi[keep], pj[keep]
-        if not len(pi):
+        # byte-class histogram signature (16 classes): one edit op changes at
+        # most two histogram units, so ed(a,b) ≥ ceil(L1(hist)/2) — an EXACT
+        # necessary condition. The O(pairs) signature scan (few ops/pair)
+        # kills ~all non-pairs before the O(len·k)-per-pair banded DP; the r5
+        # 8x scale stress measured the unfiltered DP at 92 s vs <2 s with
+        # this filter on URL-shaped blocks.
+        valid = np.arange(M.shape[1])[None, :] < lens[:, None]
+        cls = M & 0x0F
+        hist = np.empty((len(strs), 16), np.int32)
+        for c in range(16):
+            hist[:, c] = ((cls == c) & valid).sum(axis=1)
+        l1_cap = 2 * max_dist
+
+        # candidate generation is chunked over whole blocks (≤ ~4M candidate
+        # pairs per chunk) so peak memory is bounded by the chunk, not by
+        # Σ n_block² of the partition
+        m_pairs = counts.astype(np.int64) * (counts.astype(np.int64) - 1) // 2
+        cum = np.cumsum(m_pairs)
+        chunk_edges = [0]
+        CHUNK = 4_000_000
+        target = CHUNK
+        for bi, tot in enumerate(cum):
+            if tot >= target:
+                chunk_edges.append(bi + 1)
+                target = tot + CHUNK
+        if chunk_edges[-1] != len(counts):
+            chunk_edges.append(len(counts))
+        out_a, out_b, out_d = [], [], []
+        for lo_b, hi_b in zip(chunk_edges, chunk_edges[1:]):
+            gid, li, lj = _pair_indices(counts[lo_b:hi_b])
+            if not len(gid):
+                continue
+            pi = starts[lo_b:hi_b][gid] + li
+            pj = starts[lo_b:hi_b][gid] + lj
+            keep = np.abs(lens[pi] - lens[pj]) <= max_dist
+            pi, pj = pi[keep], pj[keep]
+            if len(pi):
+                l1 = np.abs(hist[pi] - hist[pj]).sum(axis=1)
+                sig_ok = l1 <= l1_cap
+                pi, pj = pi[sig_ok], pj[sig_ok]
+            if not len(pi):
+                continue
+            dist = _banded_levenshtein(M[pi], lens[pi], M[pj], lens[pj], max_dist)
+            ok = dist <= max_dist
+            out_a.append(strs[pi[ok]])
+            out_b.append(strs[pj[ok]])
+            out_d.append(dist[ok].astype(np.int64))
+        if not out_a:
             return empty
-        dist = _banded_levenshtein(M[pi], lens[pi], M[pj], lens[pj], max_dist)
-        ok = dist <= max_dist
         return pd.DataFrame(
             {
-                "a": strs[pi[ok]],
-                "b": strs[pj[ok]],
-                "dist": dist[ok].astype(np.int64),
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "dist": np.concatenate(out_d),
             }
         )
 

@@ -471,3 +471,55 @@ def test_corpus_curation_consistency():
     assert (cur["n_tokens"] >= 30).all()
     assert (cur["stop_ratio"] <= 0.2).all()
     assert (cur["lang_pred"] == "en").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_hot_key_segmented_equals_and_bounded(tmp_path):
+    """Deliberately hot-key corpus (one user owns 85% of 300k events): the
+    segmented-scan default must produce exactly the per-user path's output.
+    Wall time is asserted only with a generous guard (the 4-CPU test session
+    is noise-dominated); the 32-CPU min-of-3 comparison where segmented wins
+    (3.76 s vs 4.37 s at 1.5M rows) is recorded in BASELINE.md."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from crawl4ai_llm_ray.pipelines import relational4
+
+    rng = np.random.default_rng(3)
+    n = 300_000
+    hot = rng.random(n) < 0.85
+    user = np.where(hot, 7, rng.integers(100, 300, n))
+    ts = pd.Timestamp("2025-01-01").value // 1000 + rng.integers(0, 10**10, n)
+    etype = np.where(rng.random(n) < 0.5, "click", "purchase")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(user.astype(np.int64)),
+            "event_type": pa.array(etype.astype(object), type=pa.string()),
+            "value": pa.array(np.zeros(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+    t0 = time.time()
+    base = (
+        _df(relational4.asof_join(d, bucket_us=None))
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    t_per_user = time.time() - t0
+    t0 = time.time()
+    seg = (
+        _df(relational4.asof_join(d, bucket_us="auto"))
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    t_seg = time.time() - t0
+    assert len(base) > 100_000  # the corpus really is purchase-heavy
+    pd.testing.assert_frame_equal(base, seg[base.columns])
+    # catastrophic-regression guard only (see docstring)
+    assert t_seg < max(t_per_user * 2.5, 10.0)
