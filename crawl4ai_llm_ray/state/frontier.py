@@ -76,6 +76,18 @@ def _concat_url_runs(runs) -> pa.Array:
     return pa.concat_arrays([r[2] for r in runs])
 
 
+def _compact_runs(runs) -> list:
+    """Materialize compact copies of runs' url arrays before PICKLING.
+    Staging/queue runs hold zero-copy SLICES of the offer batch (the fast
+    path), but pickling an Arrow slice serializes the slice's whole parent
+    buffer (measured: 470 KB for an 8-row slice of an 8k-row batch) — spill
+    files and checkpoints compact first. numpy views already pickle compact."""
+    out = []
+    for p, h, u, d in runs:
+        out.append((p, h, u.take(pa.array(np.arange(len(u), dtype=np.int64))), d))
+    return out
+
+
 def _url_path(url: str) -> str:
     """Path component of a canonical URL ("/" when absent) — the scalar SPEC
     for the vectorized Arrow path extraction in ``offer``. Robots disallow
@@ -297,30 +309,40 @@ class FrontierShard:
         """Append rows to the wave's staging buffer, grouped by host (salted
         hosts spread over sub-queues keyed host#j). Hosts arrive as int32
         dictionary codes + the unique-host list; ``urls`` is an Arrow string
-        Array — runs store (f32[], u64[], pa.Array, i32[])."""
-        single_host = len(uniq_hosts) == 1
-        for gi, h in enumerate(uniq_hosts):
-            if single_host:
-                g = None  # whole batch — skip the index scan and the takes
-                n_g = len(prios)
-            else:
-                g = np.flatnonzero(host_codes == gi)
-                n_g = len(g)
-                if n_g == 0:
-                    continue
+        Array — runs store (f32[], u64[], pa.Array, i32[]).
+
+        Grouping is ONE stable sort by host code + contiguous zero-copy
+        slices (numpy views / Arrow .slice), not a per-host index scan +
+        take — with ~1000 hosts per offer batch the per-host loop was 70% of
+        offer() wall. Slices are compacted at the pickle boundaries
+        (_compact_runs) so spill/checkpoint sizes stay logical."""
+        n = len(prios)
+        if n == 0:
+            return
+        if len(uniq_hosts) == 1:
+            bounds = np.array([0], dtype=np.int64)
+            ends = np.array([n], dtype=np.int64)
+        else:
+            order = np.argsort(host_codes, kind="stable")
+            host_codes = host_codes[order]
+            prios, hashes, depths = prios[order], hashes[order], depths[order]
+            urls = urls.take(pa.array(order))
+            bounds = np.flatnonzero(np.r_[True, host_codes[1:] != host_codes[:-1]])
+            ends = np.r_[bounds[1:], n]
+        for b, e in zip(bounds, ends):
+            h = uniq_hosts[int(host_codes[b])] if len(uniq_hosts) > 1 else uniq_hosts[0]
+            b, e = int(b), int(e)
+            cnt = e - b
             s_count = self.salted_hosts.get(h, 1)
             if s_count <= 1:
-                if g is None:
-                    run = (prios, hashes, urls, depths)
-                else:
-                    run = (prios[g], hashes[g], urls.take(pa.array(g)), depths[g])
-                self.staging.setdefault(h, []).append(run)
+                self.staging.setdefault(h, []).append(
+                    (prios[b:e], hashes[b:e], urls.slice(b, cnt), depths[b:e])
+                )
             else:
-                gh = hashes if g is None else hashes[g]
+                gh = hashes[b:e]
                 salt = (gh % np.uint64(s_count)).astype(np.int64)
                 for j in np.unique(salt):
-                    m = salt == j
-                    sub = np.flatnonzero(m) if g is None else g[m]
+                    sub = np.flatnonzero(salt == j) + b
                     self.staging.setdefault(f"{h}#{j}", []).append(
                         (
                             prios[sub],
@@ -329,7 +351,7 @@ class FrontierShard:
                             depths[sub],
                         )
                     )
-            self._stage_rows += n_g
+            self._stage_rows += cnt
 
     def _flush_staging(self) -> None:
         """Wave barrier: resolve staged offers (max-priority per url_hash,
@@ -379,7 +401,7 @@ class FrontierShard:
             )
             self._spill_seq += 1
             with open(path, "wb") as f:
-                pickle.dump(runs, f, protocol=pickle.HIGHEST_PROTOCOL)
+                pickle.dump(_compact_runs(runs), f, protocol=pickle.HIGHEST_PROTOCOL)
             if kind == "q":
                 self.spilled.setdefault(h, []).append((path, rows))
                 del self.queues[h]
@@ -427,6 +449,9 @@ class FrontierShard:
                 budget = max(1, int(wave_duration // delay))
             if stride > 1 and t % stride != 0:
                 continue
+            # never materialize more slots than queued rows — budget is
+            # wave_duration/delay, which a virtual-time caller can make
+            # astronomically large (np.arange(1e9) would allocate 8 GB)
             if saltpart:
                 # sub-shard j of s fills interleaved slots on the host's
                 # politeness grid, rotated per FETCH OPPORTUNITY (t // stride)
@@ -436,9 +461,11 @@ class FrontierShard:
                 j = int(saltpart)
                 s_count = self.salted_hosts.get(h, 1)
                 offset = (j + t // stride) % s_count
-                slots = np.arange(offset, budget, s_count, dtype=np.int64)
+                n_slots = max(0, -(-(budget - offset) // s_count)) if budget > offset else 0
+                n_slots = min(n_slots, n_rows)
+                slots = offset + np.arange(n_slots, dtype=np.int64) * s_count
             else:
-                slots = np.arange(budget, dtype=np.int64)
+                slots = np.arange(min(budget, n_rows), dtype=np.int64)
             if len(slots) == 0:
                 # this sub-queue gets no fetch slot this opportunity: skip
                 # BEFORE touching spilled runs — loading + re-spilling them
@@ -585,7 +612,8 @@ class FrontierShard:
             "probe_kind": "bloom" if isinstance(self.probe, BloomFilter) else "cuckoo",
             "probe": self.probe.to_bytes(),
             "exact": self.exact.to_bytes(),
-            "queues": self.queues,
+            # compact url slices before pickling (see _compact_runs)
+            "queues": {h: _compact_runs(r) for h, r in self.queues.items()},
             "wave": self.wave,
             "metrics_rows": self.metrics_rows,
             "robots": self.robots,
@@ -594,7 +622,7 @@ class FrontierShard:
             "spill_seq": self._spill_seq,
             "spilled": self.spilled,
             "salted_hosts": self.salted_hosts,
-            "staging": self.staging,
+            "staging": {h: _compact_runs(r) for h, r in self.staging.items()},
             "stage_spilled": self.stage_spilled,
             "stage_prio": self.stage_prio.to_bytes(),
             # in-flight counters offered since the last wave seal: without
