@@ -126,3 +126,73 @@ def test_url_path_scalar_spec_matches_vectorized(host, path, scheme):
     p = pc.replace_substring_regex(arr, r"^https?://[^/]*", "")
     p = pc.if_else(pc.equal(p, ""), pa.scalar("/"), p)
     assert p.to_pylist()[0] == _url_path(url)
+
+
+def _multi_rows(items):
+    """items: list of (host_id:int, url_suffix:int, depth:int)."""
+    from crawl4ai_llm_ray.functions.hashing import fnv1a64
+
+    hosts = [f"h{h}.test" for h, _, _ in items]
+    urls = [f"http://{h}/p/{u}" for h, (_, u, _) in zip(hosts, items)]
+    depths = np.array([d for _, _, d in items], dtype=np.int32)
+    prios = (1.0 / (2.0 + depths.astype(np.float32))).astype(np.float32)
+    ua = pa.array(urls, type=pa.string())
+    ha = pa.array(hosts, type=pa.string())
+    return pa.table(
+        {
+            "url_canon": ua,
+            "url_hash": pa.array(fnv1a64(ua)),
+            "host": ha,
+            "host_hash": pa.array(fnv1a64(ha)),
+            "partition_id": pa.array(np.zeros(len(items), np.int32)),
+            "priority": pa.array(prios),
+            "depth": pa.array(depths),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # host id (multi-host groups)
+            st.integers(min_value=0, max_value=12),  # url id (dups likely)
+            st.integers(min_value=0, max_value=6),   # depth
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+    spill_cap=st.integers(min_value=2, max_value=10),
+)
+def test_multi_host_spill_checkpoint_equals_plain(items, seed, spill_cap):
+    """The r5 sort-slice staging path (zero-copy url slices, compaction at
+    the pickle boundaries): a shard driven with a tiny spill cap PLUS a
+    checkpoint/restore mid-stream must drain the exact same wave table as a
+    plain unbounded shard fed the same offers in a different batching."""
+    import tempfile
+
+    rng = np.random.default_rng(seed)
+    robots = {f"h{h}.test": ((), 1.0) for h in range(6)}
+
+    plain = FrontierShard(0, 1, robots, expected_urls=1024)
+    plain.offer(_multi_rows(items))
+    want = plain.next_wave(wave_duration=1000.0)
+
+    with tempfile.TemporaryDirectory() as td:
+        shard = FrontierShard(
+            0, 1, robots, expected_urls=1024,
+            max_queue_rows=spill_cap, spill_dir=f"{td}/spill",
+        )
+        perm = rng.permutation(len(items)).tolist()
+        seq = [items[i] for i in perm]
+        cut = int(rng.integers(0, len(seq) + 1))
+        if cut:
+            shard.offer(_multi_rows(seq[:cut]))
+        ckpt = shard.checkpoint(f"{td}/ck")
+        shard = FrontierShard.restore(ckpt)
+        if cut < len(seq):
+            shard.offer(_multi_rows(seq[cut:]))
+        got = shard.next_wave(wave_duration=1000.0)
+    assert want.equals(got), (want.to_pydict(), got.to_pydict())
