@@ -258,6 +258,7 @@ def bench_http_crawl() -> dict:
     )
     dt = time.time() - t0
     srv.shutdown()
+    srv.server_close()  # release the listening socket (shutdown alone leaks it)
     # per-host observed pacing from the server log: gaps between consecutive
     # same-host requests. The per-worker wall clock only paces within a fetch
     # task (the frontier's virtual-time schedule is the cross-task law), so

@@ -1220,6 +1220,9 @@ def fuzzy_pairs_blocked(
                 int(over.sum()), max_block, int(counts.max()), max_block,
             )
             counts = np.minimum(counts, max_block)
+        m_pairs = counts.astype(np.int64) * (counts.astype(np.int64) - 1) // 2
+        if not m_pairs.sum():  # all blocks singleton → no candidates at all
+            return empty
         M, lens = _padded_bytes(pa.array(strs, pa.string()))
         # byte-class histogram signature (16 classes): one edit op changes at
         # most two histogram units, so ed(a,b) ≥ ceil(L1(hist)/2) — an EXACT
@@ -1237,7 +1240,6 @@ def fuzzy_pairs_blocked(
         # candidate generation is chunked over whole blocks (≤ ~4M candidate
         # pairs per chunk) so peak memory is bounded by the chunk, not by
         # Σ n_block² of the partition
-        m_pairs = counts.astype(np.int64) * (counts.astype(np.int64) - 1) // 2
         cum = np.cumsum(m_pairs)
         chunk_edges = [0]
         CHUNK = 4_000_000

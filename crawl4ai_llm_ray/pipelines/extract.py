@@ -164,7 +164,14 @@ def _extract_map(m: MapSpec, parent, vals, kind_col, n: int) -> pa.Array:
 
 
 def _extract_list(ls: ListSpec, parent, vals, kind_col, n: int) -> pa.Array:
-    sel_pa = pc.equal(kind_col, ls.kind)
+    # spans with a null pos_attr are SKIPPED (not nulled into the array) —
+    # exactly DuckDB's string_agg semantics, where a NULL element simply
+    # drops out of the aggregate (the oracle builds the element as one
+    # concat, so a null offset nulls that element)
+    sel_pa = pc.and_kleene(
+        pc.equal(kind_col, ls.kind), pc.is_valid(vals.field(ls.pos_attr))
+    )
+    sel_pa = pc.fill_null(sel_pa, False)
     sel = np.asarray(sel_pa.to_numpy(zero_copy_only=False), dtype=bool)
     p = parent[sel]
     hits = vals.filter(sel_pa)  # order-preserving → doc order within doc

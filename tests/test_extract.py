@@ -162,3 +162,25 @@ def test_nested_map_and_list_specs():
     assert out.loc["d1", "identifiers"] == '{"sku":null,"store":null}'
     assert out.loc["d1", "variants"] == '[{"ref":"img://only","pos":3}]'
     assert out.loc["d2", "variants"] == "[]"
+
+
+def test_list_spec_skips_null_pos_spans():
+    """A span with a null pos attr drops out of the variants array (DuckDB
+    string_agg semantics: a NULL element is skipped), never nulling the
+    whole per-doc JSON string."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d0"]),
+            "spans": pa.array(
+                [[
+                    {"kind": "image", "text": "", "media_ref": "a", "offset": 1},
+                    {"kind": "image", "text": "", "media_ref": "b", "offset": None},
+                    {"kind": "image", "text": "", "media_ref": "c", "offset": 3},
+                ]],
+                type=pa.list_(SPAN_T),
+            ),
+        }
+    )
+    out = extract_table(t, PRODUCT_SPEC).to_pandas().set_index("doc_id")
+    assert out.loc["d0", "variants"] == '[{"ref":"a","pos":1},{"ref":"c","pos":3}]'
+    assert out.loc["d0", "n_images"] == 3  # the count still sees all spans
