@@ -1237,26 +1237,55 @@ def fuzzy_pairs_blocked(
             hist[:, c] = ((cls == c) & valid).sum(axis=1)
         l1_cap = 2 * max_dist
 
-        # candidate generation is chunked over whole blocks (≤ ~4M candidate
-        # pairs per chunk) so peak memory is bounded by the chunk, not by
-        # Σ n_block² of the partition
-        cum = np.cumsum(m_pairs)
-        chunk_edges = [0]
+        # EXACT sub-quadratic candidate generation: project each histogram
+        # onto an alternating-sign weight vector (|w|∞ = 1), so for any true
+        # pair |proj(a) − proj(b)| ≤ L1(hist) ≤ 2·max_dist. Sorting each
+        # block by the projection and pairing only rows within a ±2k window
+        # therefore loses nothing, and the candidate count drops from
+        # Σ n_block² to Σ (window occupancy) — data with identical
+        # projections (anagram-heavy blocks) degrades gracefully back to the
+        # in-window all-pairs scan, still filtered by the full L1 check.
+        w16 = np.where(np.arange(16) % 2 == 0, 1, -1).astype(np.int64)
+        proj = hist.astype(np.int64) @ w16
+        blk_of_row = np.repeat(np.arange(len(counts), dtype=np.int64),
+                               np.diff(np.r_[starts, len(strs)]))
+        rank_in_blk = np.arange(len(strs), dtype=np.int64) - starts[blk_of_row]
+        live = rank_in_blk < counts[blk_of_row]  # max_block truncation
+        live_idx = np.flatnonzero(live)
+        span = int(np.abs(proj).max()) + l1_cap + 1 if len(proj) else 1
+        key_live = blk_of_row[live_idx] * np.int64(2 * span) + proj[live_idx]
+        order = live_idx[np.argsort(key_live, kind="stable")]
+        ks = blk_of_row[order] * np.int64(2 * span) + proj[order]
+        hi_pos = np.searchsorted(ks, ks + l1_cap, side="right")
+        k_i = hi_pos - np.arange(len(ks)) - 1
+
+        # chunk rows so each ragged window expansion holds ≤ ~4M candidates
+        cum = np.cumsum(k_i)
         CHUNK = 4_000_000
+        row_edges = [0]
         target = CHUNK
-        for bi, tot in enumerate(cum):
+        for ri, tot in enumerate(cum):
             if tot >= target:
-                chunk_edges.append(bi + 1)
+                row_edges.append(ri + 1)
                 target = tot + CHUNK
-        if chunk_edges[-1] != len(counts):
-            chunk_edges.append(len(counts))
+        if row_edges[-1] != len(ks):
+            row_edges.append(len(ks))
         out_a, out_b, out_d = [], [], []
-        for lo_b, hi_b in zip(chunk_edges, chunk_edges[1:]):
-            gid, li, lj = _pair_indices(counts[lo_b:hi_b])
-            if not len(gid):
+        for r0, r1 in zip(row_edges, row_edges[1:]):
+            kk = k_i[r0:r1]
+            tot = int(kk.sum())
+            if tot == 0:
                 continue
-            pi = starts[lo_b:hi_b][gid] + li
-            pj = starts[lo_b:hi_b][gid] + lj
+            pi_s = np.repeat(np.arange(r0, r1, dtype=np.int64), kk)
+            cum_kk = np.r_[0, np.cumsum(kk)[:-1]]
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(cum_kk, kk)
+            pj_s = pi_s + 1 + offs
+            pi, pj = order[pi_s], order[pj_s]
+            # normalize to lexicographic (a < b): rows are (blk, s)-sorted,
+            # so the smaller ORIGINAL index is the smaller string
+            lo = np.minimum(pi, pj)
+            hi2 = np.maximum(pi, pj)
+            pi, pj = lo, hi2
             keep = np.abs(lens[pi] - lens[pj]) <= max_dist
             pi, pj = pi[keep], pj[keep]
             if len(pi):

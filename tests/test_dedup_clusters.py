@@ -3,6 +3,8 @@ dedup_clusters (VERDICT r1 item 2): fixed small graph, known components,
 computed via the iterated join + groupby-min label propagation — no
 driver-side edge loop anywhere."""
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -90,3 +92,57 @@ def test_crawl_url_clusters_entity_resolution():
     assert (h == hc).all()
     # the synthetic web's dup variants collapse: strictly fewer entities
     assert got["canonical_url"].nunique() < len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_windowed_candidates_match_bruteforce():
+    """The r5 projection-window candidate generation (|Δproj| ≤ L1 ≤ 2k for
+    any true pair) must be EXACT: randomized trials vs a plain O(n²)
+    Levenshtein brute force over multi-block string sets with dups and
+    empty strings."""
+    import ray.data as rd
+
+    from crawl4ai_llm_ray.pipelines.dedup import fuzzy_pairs_blocked
+
+    def ed(a, b, k):
+        la, lb = len(a), len(b)
+        if abs(la - lb) > k:
+            return k + 1
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    rng = np.random.default_rng(7)
+    alph = list("abcx")
+    for _ in range(8):
+        n = int(rng.integers(2, 60))
+        k = int(rng.integers(1, 4))
+        strs = ["".join(rng.choice(alph, int(rng.integers(0, 9)))) for _ in range(n)]
+        blks = [f"b{int(rng.integers(0, 3))}" for _ in range(n)]
+        ds = rd.from_pandas(pd.DataFrame({"u": strs, "h": blks}))
+        got = fuzzy_pairs_blocked(
+            ds, text_col="u", block_col="h", max_dist=k, num_partitions=4
+        ).to_pandas()
+        got_set = (
+            set()
+            if len(got) == 0 or "a" not in got.columns
+            else set(zip(got["a"], got["b"], got["dist"].astype(int)))
+        )
+        want = set()
+        by_blk = {}
+        for s, b in zip(strs, blks):
+            by_blk.setdefault(b, set()).add(s)
+        for b, ss in by_blk.items():
+            ss = sorted(ss)
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    d = ed(ss[i], ss[j], k)
+                    if d <= k:
+                        want.add((ss[i], ss[j], d))
+        assert got_set == want
