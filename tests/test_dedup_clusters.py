@@ -146,3 +146,79 @@ def test_fuzzy_windowed_candidates_match_bruteforce():
                     if d <= k:
                         want.add((ss[i], ss[j], d))
         assert got_set == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_random_vs_union_find():
+    """Randomized graph vs a trusted driver-side union-find: the batch-local
+    contraction pre-pass (_contract_edges_batch) must be connectivity-exact
+    across arbitrary block boundaries (edges repartitioned to 6 blocks)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(42)
+    n, m = 800, 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected label = min node id of the component
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in range(n)}
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([src, dst]), pa.int64()),
+                "dst": pa.array(np.concatenate([dst, src]), pa.int64()),
+            }
+        )
+    ).repartition(6)
+    nodes = rd.from_arrow(pa.table({"node": pa.array(np.arange(n), pa.int64())}))
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, nodes, num_partitions=2).take_all()
+    }
+    assert got == expected
+
+
+def test_contract_edges_batch_star_shape():
+    """The contraction output is a both-direction star set over the batch's
+    components: ≤ 2·(distinct nodes − roots) rows, exact connectivity."""
+    from crawl4ai_llm_ray.pipelines.dedup import _contract_edges_batch
+
+    # chain 0-1-2-3 plus pair (10,11); both directions in
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    t = pa.table(
+        {
+            "src": pa.array([a for a, b in pairs] + [b for a, b in pairs], pa.int64()),
+            "dst": pa.array([b for a, b in pairs] + [a for a, b in pairs], pa.int64()),
+        }
+    )
+    out = _contract_edges_batch(t)
+    fwd = {
+        (s, d)
+        for s, d in zip(out["src"].to_pylist(), out["dst"].to_pylist())
+        if s < d
+    }
+    # members {1,2,3} -> root 0; member {11} -> root 10
+    assert fwd == {(0, 1), (0, 2), (0, 3), (10, 11)}
+    assert out.num_rows == 2 * len(fwd)
+
+    empty = _contract_edges_batch(t.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema == t.schema
