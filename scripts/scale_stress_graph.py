@@ -124,7 +124,9 @@ def main() -> None:
                     lambda t: prep(t.drop_columns(["kp"])), batch_format="pyarrow"
                 )
             )
-            return pagerank(ed, rd.from_arrow(nodes_t), iters=3, num_partitions=16)
+            # engine-default num_partitions (label-table-size-aware): the
+            # probe measures the real code path, not a hand-tuned override
+            return pagerank(ed, rd.from_arrow(nodes_t), iters=3)
 
         sec, _ = timed(pr)
         results.append({"op": "pagerank_3it", "scale": scale, "edges": m, "sec": sec})
@@ -155,7 +157,6 @@ def main() -> None:
             return connected_components(
                 e.map_batches(both_dirs, batch_format="pyarrow"),
                 rd.from_arrow(nodes_t).map_batches(node_ids, batch_format="pyarrow"),
-                num_partitions=16,
             )
 
         sec, _ = timed(cc)
