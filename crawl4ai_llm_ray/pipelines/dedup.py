@@ -941,10 +941,12 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
     directions. ``nodes``: Dataset (node). Returns Dataset (node, label) with
     label = min node id of the component.
 
-    ``num_partitions`` defaults to label-table-size-aware (one partition per
-    ~500k label rows, clamped to [2, 64]): every hash join spawns one
+    ``num_partitions`` defaults to join-volume-aware (one partition per
+    ~100k rows of max(labels, contracted edges), clamped to [2, 64]): the
+    per-round cost is the edge⋈label join plus the union-groupby, both
+    linear in the contracted edge count, while every hash join spawns one
     aggregator actor per partition PER ROUND, so over-partitioning tiny
-    label tables multiplies pure framework cost (measured: P=8 → 54 s,
+    graphs multiplies pure framework cost (measured: P=8 → 54 s,
     P=2 → 27 s for the same 500-node graph)."""
 
     def init_labels(t: pa.Table) -> pa.Table:
@@ -961,7 +963,19 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
         .materialize()
     )
     if num_partitions is None:
-        num_partitions = max(2, min(64, labels.count() // 500_000))
+        # per-round join/groupby volume is the CONTRACTED edge count (msgs =
+        # edges ⋈ labels), so size from whichever of labels/edges is larger —
+        # same rationale as pagerank's heuristic (graph.py), but measured on
+        # the POST-contraction edge set (the pre-pass shrinks the 3.2M-row
+        # both-dirs Zipf stress set to ~320k star edges, landing P=3 at 8×;
+        # a P∈{2,4,8,16} sweep there was within box noise, 46-62 s, so the
+        # divisor mainly protects the two ends: tiny graphs stay at the P=2
+        # floor where per-partition aggregator actors dominate (measured:
+        # P=8 → 54 s vs P=2 → 27 s on a 500-node graph), and huge contracted
+        # graphs keep one partition per ~100k join rows).
+        num_partitions = max(
+            2, min(64, max(labels.count(), edges.count()) // 100_000)
+        )
     prev_sum = _limb_checksum(labels, "label")
     while True:
         msgs = edges.join(
