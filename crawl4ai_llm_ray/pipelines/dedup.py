@@ -915,7 +915,12 @@ def _contract_edges_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def connected_components(edges, nodes, num_partitions: int | None = None):
+def connected_components(
+    edges,
+    nodes,
+    num_partitions: int | None = None,
+    broadcast_max_rows: int | None = None,
+):
     """Distributed connected components by iterated min-label propagation
     (the Pregel/GraphX shape): each round every node's label becomes the min
     of its own label and its neighbors' labels, computed as
@@ -927,6 +932,18 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
     non-increasing, so an unchanged sum IS the fixpoint). Every step is a
     partitioned Ray-native shuffle — no driver-side edge loop, no full-table
     materialization.
+
+    When the label table AND contracted edge set fit under
+    ``broadcast_max_rows`` (default graph.BROADCAST_MAX_ROWS), the round
+    switches to the broadcast fast path: the label table is ray.put once per
+    round, the msgs stage becomes a vectorized pc.index_in lookup +
+    block-local pre-min over the materialized contracted-edge blocks, and
+    the final min runs as a driver-side pyarrow C++ group_by over the small
+    partials — zero per-round all-to-all (and the fixpoint checksum comes
+    free from the driver table). Results are identical to the join path
+    (integer min is associative); pass ``broadcast_max_rows=0`` to force
+    the distributed join, which is also what a >2M-node graph gets
+    automatically.
 
     A batch-local contraction pre-pass (``_contract_edges_batch``) first
     replaces each edge block with connectivity-equivalent star edges
@@ -976,6 +993,74 @@ def connected_components(edges, nodes, num_partitions: int | None = None):
         num_partitions = max(
             2, min(64, max(labels.count(), edges.count()) // 100_000)
         )
+    from .graph import (
+        BROADCAST_MAX_ROWS,
+        _broadcast_lookup,
+        _collect_table,
+        _concat_group,
+        _limb_checksum_np,
+        _split_for_map,
+    )
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = BROADCAST_MAX_ROWS
+    # driver pull per round is bounded by the per-block-distinct partial
+    # volume ≤ contracted edge count, so gate on both sides of the exchange
+    use_broadcast = (
+        labels.count() <= broadcast_max_rows
+        and edges.count() <= 4 * broadcast_max_rows
+    )
+
+    def msgs_bcast(ref):
+        def fn(t: pa.Table) -> pa.Table:
+            t, lab = _broadcast_lookup(t, ref, "src", "label")
+            part = pa.table({"node": t["dst"], "label": lab})
+            # block-local combiner: pre-min per dst before anything moves
+            return _concat_group([part], "node", "label", "min")
+
+        return fn
+
+    if use_broadcast:
+        # Broadcast mode: no per-round all-to-all at all. Each round is one
+        # streaming map over the materialized contracted-edge blocks
+        # (ray.put'd labels + pc.index_in lookup + block-local pre-min) and
+        # a driver C++ group_by over the small partials (integer min —
+        # associative, bit-identical to the distributed groupby, including
+        # the union semantics that admit dst nodes outside ``nodes``). The
+        # framework sort-groupby costs ~25 s PER ROUND on a low-block-count
+        # input at the 8× stress scale; this path replaces it outright, and
+        # the fixpoint checksum comes free from the driver table.
+        import ray
+        import ray.data as _rd
+
+        lt = _collect_table(labels)
+        if lt is None:  # no nodes: the fixpoint is the empty label table
+            return labels
+        edges = _split_for_map(edges)
+        node_arr = lt["node"].combine_chunks()
+        label_arr = lt["label"].combine_chunks()
+        prev_sum = _limb_checksum_np(label_arr.to_numpy())
+        while True:
+            ref = ray.put((node_arr, label_arr))
+            parts = _collect_table(
+                edges.map_batches(
+                    msgs_bcast(ref), batch_format="pyarrow", batch_size=None
+                )
+            )
+            cur = pa.table({"node": node_arr, "label": label_arr})
+            merged = _concat_group(
+                [cur] + ([parts] if parts is not None else []),
+                "node",
+                "label",
+                "min",
+            )
+            node_arr = merged["node"].combine_chunks()
+            label_arr = merged["label"].combine_chunks()
+            new_sum = _limb_checksum_np(label_arr.to_numpy())
+            if new_sum == prev_sum:
+                return _rd.from_arrow(merged)
+            prev_sum = new_sum
+
     prev_sum = _limb_checksum(labels, "label")
     while True:
         msgs = edges.join(

@@ -254,3 +254,85 @@ def test_crawl_redirect_resolve_terminal_targets():
     hb = got["final_url"].str.extract(r"https?://([^/]*)")[0]
     assert (ha == hb).all()
     assert (got["url"] != got["final_url"]).any()  # chains actually existed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_path_equals_join_path():
+    """The broadcast fast path (labels/ranks ray.put per round + in-map
+    pc.index_in lookup) must be bit-identical to the distributed-join path
+    for both connected_components and pagerank — forced via
+    broadcast_max_rows=0 on the join side. Random graph, string AND int64
+    keys (index_in is type-generic)."""
+    import numpy as np
+    import ray
+
+    from crawl4ai_llm_ray.pipelines.dedup import connected_components
+    from crawl4ai_llm_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(41)
+    n, m = 800, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # a few edges referencing nodes OUTSIDE the node universe: the join
+    # path's union+groupby admits such dst rows into the result, and the
+    # broadcast path must reproduce that exactly
+    src = np.concatenate([src, [0, 1, n + 5]])
+    dst = np.concatenate([dst, [n + 5, n + 9, n + 9]])
+
+    e_cc = pa.table(
+        {
+            "src": pa.array(np.concatenate([src, dst])),
+            "dst": pa.array(np.concatenate([dst, src])),
+        }
+    )
+    nodes = pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    a = (
+        connected_components(ray.data.from_arrow(e_cc), ray.data.from_arrow(nodes))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        connected_components(
+            ray.data.from_arrow(e_cc),
+            ray.data.from_arrow(nodes),
+            broadcast_max_rows=0,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    deg = df.groupby("src")["src"].transform("size")
+    e_pr = pa.table(
+        {
+            "src": pa.array("u" + df["src"].astype(str)),
+            "dst": pa.array("u" + df["dst"].astype(str)),
+            "outdeg": pa.array(deg.to_numpy().astype(np.int64)),
+        }
+    )
+    nodes_s = pa.table(
+        {"node": pa.array(["u%d" % i for i in range(n)], pa.string())}
+    )
+    p1 = (
+        pagerank(ray.data.from_arrow(e_pr), ray.data.from_arrow(nodes_s), iters=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    p2 = (
+        pagerank(
+            ray.data.from_arrow(e_pr),
+            ray.data.from_arrow(nodes_s),
+            iters=3,
+            broadcast_max_rows=0,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(p1, p2)
