@@ -576,7 +576,13 @@ def triangle_count(edges, num_partitions: int = 8):
     )
 
 
-def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
+def bfs_distance(
+    edges,
+    nodes,
+    source_set,
+    num_partitions: int = 4,
+    broadcast_max_rows: int | None = None,
+):
     """(node, dist) multi-source BFS over a directed edge Dataset: dist =
     minimum hop count from any source, -1 for unreachable nodes. The third
     member of the Pregel family next to pagerank (above) and
@@ -594,7 +600,15 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
 
     ``source_set``: small broadcastable set of node ids (seed lists are
     dimension-sized by nature — shipped once via closure capture, the
-    ray.put broadcast pattern, not re-derived per batch)."""
+    ray.put broadcast pattern, not re-derived per batch).
+
+    Shares the threshold-gated broadcast fast path with pagerank /
+    connected_components: when dist table and edge set fit under
+    ``broadcast_max_rows`` (default BROADCAST_MAX_ROWS), each round is one
+    in-map lookup + block-local pre-min over the edge blocks and a driver
+    C++ group_by — zero per-round all-to-all, bit-identical results
+    (integer min is associative). BFS benefits most: its round count is the
+    source set's eccentricity, not a contracted diameter."""
     import ray
 
     SENT = np.int64(1 << 40)  # unreachable sentinel, far above any real dist
@@ -612,8 +626,65 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
 
     dist = nodes.map_batches(init, batch_format="pyarrow").materialize()
     edges = edges.materialize()
+    if broadcast_max_rows is None:
+        broadcast_max_rows = BROADCAST_MAX_ROWS
+    use_broadcast = (
+        dist.count() <= broadcast_max_rows
+        and edges.count() <= 4 * broadcast_max_rows
+    )
     if edges.count() == 0:
         prev = dist
+    elif use_broadcast:
+        import pyarrow.compute as pc
+        import ray.data as _rd
+
+        def bump_bcast(ref):
+            def fn(t: pa.Table) -> pa.Table:
+                t, d = _broadcast_lookup(t, ref, "src", "dist")
+                keep = pc.less(d, pa.scalar(int(SENT), pa.int64()))
+                t = t.filter(keep)
+                d = d.filter(keep)
+                part = pa.table(
+                    {
+                        "node": t["dst"],
+                        "dist": pc.add(d, pa.scalar(1, pa.int64())),
+                    }
+                )
+                return _concat_group([part], "node", "dist", "min")
+
+            return fn
+
+        dt0 = _collect_table(dist)
+        if dt0 is None:
+            prev = dist
+        else:
+            edges_b = _split_for_map(edges)
+            node_arr = dt0["node"].combine_chunks()
+            dist_arr = dt0["dist"].combine_chunks()
+            prev_sum = _limb_checksum_np(dist_arr.to_numpy())
+            while True:
+                ref = ray.put((node_arr, dist_arr))
+                parts = _collect_table(
+                    edges_b.map_batches(
+                        bump_bcast(ref), batch_format="pyarrow", batch_size=None
+                    )
+                )
+                cur = pa.table({"node": node_arr, "dist": dist_arr})
+                merged = _concat_group(
+                    [cur] + ([parts] if parts is not None else []),
+                    "node",
+                    "dist",
+                    "min",
+                )
+                node_arr = merged["node"].combine_chunks()
+                dist_arr = merged["dist"].combine_chunks()
+                new_sum = _limb_checksum_np(dist_arr.to_numpy())
+                if new_sum == prev_sum:
+                    break
+                prev_sum = new_sum
+            prev = _rd.from_arrow(
+                pa.table({"node": node_arr, "dist": dist_arr})
+            )
     else:
         prev_sum = _limb_checksum(dist, "dist")
         while True:
@@ -665,7 +736,9 @@ def bfs_distance(edges, nodes, source_set, num_partitions: int = 4):
     return prev.map_batches(finish, batch_format="pyarrow")
 
 
-def pointer_jump_resolve(parents, num_partitions: int = 4):
+def pointer_jump_resolve(
+    parents, num_partitions: int = 4, broadcast_max_rows: int | None = None
+):
     """(node, root): resolve every chain of a FUNCTIONAL graph (each node
     has exactly one parent; roots point at themselves) to its terminal root
     by POINTER DOUBLING: each round replaces parent with parent-of-parent
@@ -683,7 +756,15 @@ def pointer_jump_resolve(parents, num_partitions: int = 4):
     parent actually moved. A sum/checksum fixpoint test would be wrong
     here: parent VALUES are hash ids, not monotone along a chain, so a
     swap could alias the sums (unlike connected_components' min-labels,
-    which are monotone). Integer-exact; recursive-CTE SQL twin."""
+    which are monotone). Integer-exact; recursive-CTE SQL twin.
+
+    Below ``broadcast_max_rows`` (default BROADCAST_MAX_ROWS) the whole
+    doubling loop runs driver-side as vectorized pc.index_in / pc.take
+    rounds over the pulled table — a functional graph IS its own state
+    table, so this is the pagerank/CC broadcast fast path with the edge
+    map folded away. Round-for-round identical to the self-join, including
+    its inner-join drop of rows whose current parent is absent; pass
+    ``broadcast_max_rows=0`` to force the distributed self-join."""
     import math
 
     cur = parents.materialize()
@@ -691,6 +772,32 @@ def pointer_jump_resolve(parents, num_partitions: int = 4):
     if n == 0:
         return cur
     import pyarrow.compute as pc
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = BROADCAST_MAX_ROWS
+    if n <= broadcast_max_rows:
+        import ray.data as _rd
+
+        ct = _collect_table(cur)
+        node_a = ct["node"].combine_chunks()
+        par_a = ct["parent"].combine_chunks()
+        rounds = max(1, math.ceil(math.log2(max(2, n))) + 1)
+        for _ in range(rounds):
+            idx = pc.index_in(par_a, value_set=node_a)
+            par_full = par_a  # idx positions refer to the PRE-filter table
+            if idx.null_count:
+                valid = pc.is_valid(idx)
+                node_a = node_a.filter(valid)
+                par_a = par_a.filter(valid)
+                idx = idx.filter(valid)
+            gp = pc.take(par_full, idx)
+            changed = pc.sum(
+                pc.cast(pc.not_equal(par_a, gp), pa.int64())
+            ).as_py()
+            par_a = gp
+            if not changed:
+                break
+        return _rd.from_arrow(pa.table({"node": node_a, "root": par_a}))
 
     def hop_cols(t: pa.Table) -> pa.Table:
         return pa.table(

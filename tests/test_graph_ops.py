@@ -336,3 +336,73 @@ def test_broadcast_path_equals_join_path():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(p1, p2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_and_pointer_jump_broadcast_parity():
+    """bfs_distance and pointer_jump_resolve broadcast fast paths must equal
+    their distributed-join paths (broadcast_max_rows=0), including the
+    inner-join drop of rows whose parent/src is outside the table."""
+    import numpy as np
+    import ray
+
+    from crawl4ai_llm_ray.pipelines.graph import bfs_distance, pointer_jump_resolve
+
+    rng = np.random.default_rng(17)
+    n, m = 600, 1800
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # edges into nodes outside the universe exercise the union semantics
+    src = np.concatenate([src, [0, n + 3]])
+    dst = np.concatenate([dst, [n + 3, n + 7]])
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    nodes = pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+    sources = [0, 5, 17]
+    a = (
+        bfs_distance(
+            ray.data.from_arrow(edges), ray.data.from_arrow(nodes), sources
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        bfs_distance(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(nodes),
+            sources,
+            broadcast_max_rows=0,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["dist"] == 0).sum() == len(sources)
+
+    # functional graph: chains onto roots, plus rows whose parent is MISSING
+    # from the table (the join path silently drops them — parity must too)
+    k = 500
+    node = np.arange(k, dtype=np.int64)
+    parent = np.maximum(node - rng.integers(1, 4, k), 0)
+    parent[0] = 0  # root
+    node = np.concatenate([node, [10_000]])
+    parent = np.concatenate([parent, [20_000]])  # dangling parent
+    pt = pa.table({"node": pa.array(node), "parent": pa.array(parent)})
+    r1 = (
+        pointer_jump_resolve(ray.data.from_arrow(pt))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    r2 = (
+        pointer_jump_resolve(ray.data.from_arrow(pt), broadcast_max_rows=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(r1, r2)
+    assert (r1["root"] == 0).all()  # every surviving chain ends at the root
+    assert 10_000 not in set(r1["node"])  # dangling row dropped by both
