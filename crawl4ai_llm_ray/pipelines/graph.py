@@ -26,6 +26,17 @@ connected_components already uses, dedup.py:851):
 so each round is one narrow join plus one narrow aggregate; nothing ever
 reaches the driver. ``num_partitions`` defaults to rank-table-size-aware for
 the same aggregator-actor-cost reason documented on connected_components.
+
+Below ``BROADCAST_MAX_ROWS`` every Pregel-family op here (pagerank,
+bfs_distance, pointer_jump_resolve, and dedup.connected_components)
+switches to a zero-shuffle broadcast round: ray.put the node-keyed state,
+look it up in-map with pc.index_in over the materialized edge blocks,
+pre-aggregate block-locally, and finish the associative integer min/sum as
+a driver-side pyarrow C++ group_by over the small partials — bit-identical
+to the join rounds (parity-tested) and 9-20× faster at the stress scales,
+because Ray's sort-based groupby pays ~25 s/round on low-block-count
+inputs (BASELINE.md microbench). Above the threshold the join rounds run
+unchanged, so a 100 TB node table never lands on the driver.
 """
 
 from __future__ import annotations
