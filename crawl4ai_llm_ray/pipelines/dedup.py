@@ -1013,7 +1013,7 @@ def connected_components(
 
     def msgs_bcast(ref):
         def fn(t: pa.Table) -> pa.Table:
-            t, lab = _broadcast_lookup(t, ref, "src", "label")
+            t, lab = _broadcast_lookup(t, ref, "src")
             part = pa.table({"node": t["dst"], "label": lab})
             # block-local combiner: pre-min per dst before anything moves
             return _concat_group([part], "node", "label", "min")

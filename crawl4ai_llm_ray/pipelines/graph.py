@@ -113,7 +113,7 @@ def _limb_checksum_np(v: np.ndarray) -> tuple:
     )
 
 
-def _broadcast_lookup(t: pa.Table, ref, key: str, out_name: str):
+def _broadcast_lookup(t: pa.Table, ref, key: str):
     """Inside-map join leg: map t[key] through the broadcast (keys, values)
     pair in ``ref``; rows whose key is absent are dropped (inner-join
     semantics, matching the join path). Returns (filtered table, values)."""
@@ -240,7 +240,7 @@ def pagerank(
 
     def contrib_bcast(ref):
         def fn(t: pa.Table) -> pa.Table:
-            t, pr = _broadcast_lookup(t, ref, "src", "pr")
+            t, pr = _broadcast_lookup(t, ref, "src")
             c = pr.to_numpy(zero_copy_only=False).astype(np.int64) // t[
                 "outdeg"
             ].to_numpy()
@@ -651,7 +651,7 @@ def bfs_distance(
 
         def bump_bcast(ref):
             def fn(t: pa.Table) -> pa.Table:
-                t, d = _broadcast_lookup(t, ref, "src", "dist")
+                t, d = _broadcast_lookup(t, ref, "src")
                 keep = pc.less(d, pa.scalar(int(SENT), pa.int64()))
                 t = t.filter(keep)
                 d = d.filter(keep)
