@@ -367,6 +367,12 @@ def triangle_count(edges, num_partitions: int = 8):
 
     und = (
         edges.map_batches(undirect, batch_format="pyarrow")
+        # split before the shuffle: the sort-based groupby sizes its task
+        # graph from the INPUT block count, so a 1-block edge table (e.g.
+        # from_arrow) serializes the whole exchange (BASELINE.md microbench:
+        # 30 s 1-block vs 4 s 32-block on identical rows). Local split, no
+        # data movement.
+        .repartition(4 * P, shuffle=False)
         .groupby("ep")
         .map_groups(
             lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],
