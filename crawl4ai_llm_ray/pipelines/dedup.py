@@ -1471,6 +1471,10 @@ def fuzzy_pairs_blocked(
 
     return (
         ds.map_batches(key, batch_format="pyarrow")
+        # split before the shuffle: the sort-based groupby sizes its task
+        # graph from the input block count, so a 1-block input (from_arrow)
+        # would serialize the exchange (BASELINE.md 1-vs-32-block microbench)
+        .repartition(4 * num_partitions, shuffle=False)
         .groupby("bp")
         .map_groups(pairs, batch_format="pandas")
     )
