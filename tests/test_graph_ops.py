@@ -406,3 +406,45 @@ def test_bfs_and_pointer_jump_broadcast_parity():
     pd.testing.assert_frame_equal(r1, r2)
     assert (r1["root"] == 0).all()  # every surviving chain ends at the root
     assert 10_000 not in set(r1["node"])  # dangling row dropped by both
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_collect_handles_pandas_blocks():
+    """to_arrow_refs hands back raw pandas blocks when an upstream
+    map_groups produced them (incl. EMPTY ones with no columns) — the
+    broadcast collect must coerce instead of crashing (regression: found
+    via dedup_clusters at sf0.01)."""
+    import numpy as np
+    import ray
+
+    from crawl4ai_llm_ray.pipelines.dedup import connected_components
+
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2, 7, 8], type=pa.int64()),
+            "dst": pa.array([2, 1, 8, 7], type=pa.int64()),
+            "g": pa.array([0, 0, 1, 2], type=pa.int64()),
+        }
+    )
+
+    def maybe_empty(df):
+        # group 2 yields an EMPTY pandas frame -> an empty pandas block
+        if (df["g"] == 2).all():
+            return df.iloc[0:0][["src", "dst"]]
+        return df[["src", "dst"]]
+
+    e = (
+        ray.data.from_arrow(edges)
+        .groupby("g")
+        .map_groups(maybe_empty, batch_format="pandas")
+    )
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([1, 2, 7, 8, 9], type=pa.int64())})
+    )
+    got = (
+        connected_components(e, nodes)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7, 9: 9}
