@@ -928,10 +928,12 @@ def connected_components(
         msgs   = edges ⋈ labels on src          (hash join, partitioned)
         labels = (labels ∪ msgs[dst, label]).groupby(node).min(label)
 
-    until the global label sum stops decreasing (labels are monotone
-    non-increasing, so an unchanged sum IS the fixpoint). Every step is a
-    partitioned Ray-native shuffle — no driver-side edge loop, no full-table
-    materialization.
+    until the (row count, global label sum) pair stops changing — labels
+    are monotone non-increasing on a fixed node set, but the union step can
+    ADD rows for dst ids outside ``nodes``, and a new row's label could
+    exactly offset a decrease in the sums, so the count is part of the
+    fixpoint state. Every step is a partitioned Ray-native shuffle — no
+    driver-side edge loop, no full-table materialization.
 
     When the label table AND contracted edge set fit under
     ``broadcast_max_rows`` (default graph.BROADCAST_MAX_ROWS), the round
@@ -1039,7 +1041,14 @@ def connected_components(
         edges = _split_for_map(edges)
         node_arr = lt["node"].combine_chunks()
         label_arr = lt["label"].combine_chunks()
-        prev_sum = _limb_checksum_np(label_arr.to_numpy())
+        # fixpoint state = (ROW COUNT, limb sums): the union step can GROW
+        # the node set (dst outside ``nodes``), and a new row's entering
+        # label can exactly offset an in-universe min-decrease in the limb
+        # sums — sum-only convergence is unsound on a growing set. Count +
+        # sums together are sound: each round is a deterministic function
+        # of (edges, labels), and on an UNCHANGED set the labels are
+        # monotone non-increasing, so equal sums mean no label moved.
+        prev = (len(node_arr), _limb_checksum_np(label_arr.to_numpy()))
         while True:
             ref = ray.put((node_arr, label_arr))
             parts = _collect_table(
@@ -1056,12 +1065,14 @@ def connected_components(
             )
             node_arr = merged["node"].combine_chunks()
             label_arr = merged["label"].combine_chunks()
-            new_sum = _limb_checksum_np(label_arr.to_numpy())
-            if new_sum == prev_sum:
+            new = (len(node_arr), _limb_checksum_np(label_arr.to_numpy()))
+            if new == prev:
                 return _rd.from_arrow(merged)
-            prev_sum = new_sum
+            prev = new
 
-    prev_sum = _limb_checksum(labels, "label")
+    # (count, limb sums) for the same growing-node-set soundness reason as
+    # the broadcast loop above; merged is materialized so count() is free
+    prev = (labels.count(), _limb_checksum(labels, "label"))
     while True:
         msgs = edges.join(
             labels,
@@ -1077,11 +1088,11 @@ def connected_components(
             .rename_columns({"min(label)": "label"})
             .materialize()
         )
-        new_sum = _limb_checksum(merged, "label")
+        new = (merged.count(), _limb_checksum(merged, "label"))
         labels = merged
-        if new_sum == prev_sum:
+        if new == prev:
             return labels
-        prev_sum = new_sum
+        prev = new
 
 
 def _clusters_from_pairs(pairs, sf_dir: str):

@@ -678,7 +678,12 @@ def bfs_distance(
             edges_b = _split_for_map(edges)
             node_arr = dt0["node"].combine_chunks()
             dist_arr = dt0["dist"].combine_chunks()
-            prev_sum = _limb_checksum_np(dist_arr.to_numpy())
+            # (count, sums) fixpoint like connected_components: BFS dists
+            # are provably alias-free even on a growing node set (finite
+            # values never decrease; SENT→finite moves the mid limb, new
+            # rows only add lo), but the count term makes the soundness
+            # argument local instead of global — and it's free here.
+            prev_sum = (len(node_arr), _limb_checksum_np(dist_arr.to_numpy()))
             while True:
                 ref = ray.put((node_arr, dist_arr))
                 parts = _collect_table(
@@ -695,7 +700,10 @@ def bfs_distance(
                 )
                 node_arr = merged["node"].combine_chunks()
                 dist_arr = merged["dist"].combine_chunks()
-                new_sum = _limb_checksum_np(dist_arr.to_numpy())
+                new_sum = (
+                    len(node_arr),
+                    _limb_checksum_np(dist_arr.to_numpy()),
+                )
                 if new_sum == prev_sum:
                     break
                 prev_sum = new_sum
@@ -703,7 +711,8 @@ def bfs_distance(
                 pa.table({"node": node_arr, "dist": dist_arr})
             )
     else:
-        prev_sum = _limb_checksum(dist, "dist")
+        # (count, sums) — see the broadcast loop's comment
+        prev_sum = (dist.count(), _limb_checksum(dist, "dist"))
         while True:
             import pyarrow.compute as pc
 
@@ -731,7 +740,7 @@ def bfs_distance(
                 .rename_columns({"min(dist)": "dist"})
                 .materialize()
             )
-            new_sum = _limb_checksum(merged, "dist")
+            new_sum = (merged.count(), _limb_checksum(merged, "dist"))
             dist = merged
             if new_sum == prev_sum:
                 prev = merged

@@ -448,3 +448,46 @@ def test_broadcast_collect_handles_pandas_blocks():
         .to_dict()
     )
     assert got == {1: 1, 2: 1, 7: 7, 8: 7, 9: 9}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cc_fixpoint_not_fooled_by_checksum_aliasing_growth():
+    """Regression (found by review): nodes {0,1,2}, path 0-1-2-9 with 9
+    OUTSIDE the node universe, one edge per block so the batch-local
+    contraction can't collapse the chain. After round 1 the labels are
+    {0:0, 1:0, 2:1, 9:2} — same limb sums as the init {0:0, 1:1, 2:2}, so
+    a sum-only fixpoint test exits early with wrong labels. The fixpoint
+    state must include the row count; final labels are all 0."""
+    import ray
+
+    from crawl4ai_llm_ray.pipelines.dedup import connected_components
+
+    def one_edge_blocks():
+        parts = []
+        for s, d in [(0, 1), (1, 2), (2, 9)]:
+            parts.append(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "src": pa.array([s, d], type=pa.int64()),
+                            "dst": pa.array([d, s], type=pa.int64()),
+                        }
+                    )
+                )
+            )
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2], type=pa.int64())})
+    )
+    for bmr in [None, 0]:  # broadcast path AND join path
+        got = (
+            connected_components(one_edge_blocks(), nodes, broadcast_max_rows=bmr)
+            .to_pandas()
+            .set_index("node")["label"]
+            .to_dict()
+        )
+        assert got == {0: 0, 1: 0, 2: 0, 9: 0}, (bmr, got)
