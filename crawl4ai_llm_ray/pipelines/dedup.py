@@ -1480,12 +1480,15 @@ def fuzzy_pairs_blocked(
             }
         )
 
+    from .graph import _ensure_min_blocks
+
     return (
-        ds.map_batches(key, batch_format="pyarrow")
-        # split before the shuffle: the sort-based groupby sizes its task
-        # graph from the input block count, so a 1-block input (from_arrow)
-        # would serialize the exchange (BASELINE.md 1-vs-32-block microbench)
-        .repartition(4 * num_partitions, shuffle=False)
+        # guarded split before the shuffle (graph._ensure_min_blocks): a
+        # 1-block from_arrow input would serialize the groupby exchange
+        # (BASELINE.md 1-vs-32-block microbench); a many-block parquet
+        # read must NOT be coalesced down to 4*P
+        _ensure_min_blocks(ds, 4 * num_partitions)
+        .map_batches(key, batch_format="pyarrow")
         .groupby("bp")
         .map_groups(pairs, batch_format="pandas")
     )

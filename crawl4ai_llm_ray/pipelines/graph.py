@@ -145,6 +145,26 @@ def _concat_group(tbls, key: str, col: str, agg: str) -> "pa.Table":
     ).combine_chunks()
 
 
+def _ensure_min_blocks(ds, target: int):
+    """Split-before-shuffle guard. The sort-based groupby sizes its task
+    graph from its input block count, so a low-block MATERIALIZED input
+    (e.g. a 1-block from_arrow table) serializes the whole exchange
+    (BASELINE.md microbench: 30 s on 1 block vs ~4 s on 32 blocks for
+    identical rows). Only ever SPLITS: an input already at/above ``target``
+    blocks is returned unchanged (an unconditional ``repartition(target)``
+    would COALESCE a 256-block parquet read down to ``target``, cutting
+    parallelism 4x — the opposite pathology), and a lazy input keeps its
+    native read/transform parallelism (its block count is unknowable
+    without executing, and read paths are already multi-block)."""
+    try:
+        n = ds.num_blocks()  # MaterializedDataset only
+    except NotImplementedError:
+        return ds
+    if n < target:
+        ds = ds.repartition(target, shuffle=False)
+    return ds
+
+
 def _split_for_map(edges, rows_per_block: int = 128_000):
     """Broadcast-mode edge layout: split a materialized edge Dataset so the
     per-round lookup map has at least a few parallel tasks (a single
@@ -366,13 +386,11 @@ def triangle_count(edges, num_partitions: int = 8):
         return pa.table({"a": a, "b": b, "ep": pa.array(ep)})
 
     und = (
-        edges.map_batches(undirect, batch_format="pyarrow")
-        # split before the shuffle: the sort-based groupby sizes its task
-        # graph from the INPUT block count, so a 1-block edge table (e.g.
-        # from_arrow) serializes the whole exchange (BASELINE.md microbench:
-        # 30 s 1-block vs 4 s 32-block on identical rows). Local split, no
-        # data movement.
-        .repartition(4 * P, shuffle=False)
+        # guarded split before the shuffle (see _ensure_min_blocks): a
+        # 1-block edge table would serialize the groupby exchange; a
+        # many-block read must NOT be coalesced
+        _ensure_min_blocks(edges, 4 * P)
+        .map_batches(undirect, batch_format="pyarrow")
         .groupby("ep")
         .map_groups(
             lambda df: df.drop_duplicates(["a", "b"])[["a", "b"]],

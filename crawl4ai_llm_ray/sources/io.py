@@ -347,9 +347,10 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
     if not files:
         # preserve the caller's requested schema WITH the real column types
         # (from any manifest file's parquet footer — a hardcoded int64 would
-        # break unions/joins on string columns downstream)
+        # break unions/joins on string columns downstream); columns=None
+        # must yield the FULL footer schema, like the non-pruned path
         empty = rd.from_arrow(
-            _empty_pruned_table(man["files"], columns or [key_col])
+            _empty_pruned_table(man["files"], columns, fallback=[key_col])
         )
         return empty, 0, n_total
     ds = rd.read_parquet(files, columns=columns)
@@ -362,10 +363,16 @@ def read_clustered_range(path: str, lo: int, hi: int, columns=None):
     return ds.map_batches(residual, batch_format="pyarrow"), len(files), n_total
 
 
-def _empty_pruned_table(manifest_files: list, cols: list[str]) -> pa.Table:
+def _empty_pruned_table(
+    manifest_files: list, cols: "list[str] | None", fallback: list[str] = ()
+) -> pa.Table:
     """Zero-row table for the all-files-pruned path, typed from a real
     parquet footer of the layout (falls back to int64 only when the layout
-    itself is empty). One footer read — no data pages touched."""
+    itself is empty). ``cols=None`` means "the caller asked for every
+    column" — the full footer schema, matching what read_parquet(columns=None)
+    would have returned on the non-empty path (``fallback`` names the
+    columns to use only when no footer is readable). One footer read — no
+    data pages touched."""
     import pyarrow.parquet as pq
 
     schema = None
@@ -375,6 +382,12 @@ def _empty_pruned_table(manifest_files: list, cols: list[str]) -> pa.Table:
             break
         except (OSError, KeyError):
             continue
+    if cols is None:
+        if schema is not None:
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in schema], schema=schema
+            )
+        cols = list(fallback)
     fields = []
     for c in cols:
         if schema is not None and schema.get_field_index(c) >= 0:
@@ -501,9 +514,11 @@ def read_clustered_box(path: str, preds: dict, columns=None):
     n_total = len(man["files"])
     if not files:
         # preserve the caller's requested schema WITH the real column types
-        # (see _empty_pruned_table — hardcoded int64 broke string columns)
+        # (see _empty_pruned_table — hardcoded int64 broke string columns);
+        # columns=None must yield the FULL footer schema, not just the
+        # predicate columns
         empty = rd.from_arrow(
-            _empty_pruned_table(man["files"], columns or list(preds))
+            _empty_pruned_table(man["files"], columns, fallback=list(preds))
         )
         return empty, 0, n_total
     ds = rd.read_parquet(files, columns=columns)

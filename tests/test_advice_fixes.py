@@ -358,3 +358,53 @@ class TestR5AdviceFixes:
         # and it unions cleanly with a real read (the failure mode)
         full, _, _ = read_clustered_range(out, 0, 10, columns=["key", "name"])
         assert full.union(empty).count() == 11
+
+    def test_clustered_zero_file_prune_columns_none_full_schema(
+        self, tmp_path, ray_session
+    ):
+        """r5 review: columns=None on the all-pruned path must return the
+        FULL footer schema — matching read_parquet(columns=None) on the
+        non-empty path — not just the key / predicate columns (callers like
+        clustered_lookup pass no column list and then select from the
+        result)."""
+        import ray
+
+        import pandas as pd
+
+        from crawl4ai_llm_ray.sources.io import (
+            read_clustered_box,
+            read_clustered_range,
+            write_clustered,
+            write_zorder,
+        )
+
+        n = 1000
+        df = pd.DataFrame(
+            {
+                "key": np.arange(n, dtype=np.int64),
+                "aux": np.arange(n, dtype=np.int64) * 2,
+                "name": [f"row-{i}" for i in range(n)],
+            }
+        )
+        out = str(tmp_path / "clustered_all_cols")
+        write_clustered(
+            ray.data.from_pandas(df), out, "key", n_ranges=4, sample_stride=8
+        )
+        empty, n_read, _ = read_clustered_range(out, 10**9, 2 * 10**9)
+        assert n_read == 0
+        assert sorted(empty.schema().names) == ["aux", "key", "name"]
+        full, _, _ = read_clustered_range(out, 0, 10)
+        assert full.union(empty).count() == 11
+
+        # same contract for the box reader's zero-file path
+        zout = str(tmp_path / "zorder_all_cols")
+        write_zorder(ray.data.from_pandas(df), zout, "key", "aux", n_ranges=4)
+        zempty, zn_read, _ = read_clustered_box(
+            zout, {"key": (10**9, 2 * 10**9), "aux": (10**9, 2 * 10**9)}
+        )
+        assert zn_read == 0
+        # the zorder layout persists its _z curve key; columns=None must
+        # match whatever a NON-empty columns=None read returns
+        zfull, _, _ = read_clustered_box(zout, {"key": (0, 10), "aux": (0, 20)})
+        assert sorted(zempty.schema().names) == sorted(zfull.schema().names)
+        assert zfull.union(zempty).count() == zfull.count()
