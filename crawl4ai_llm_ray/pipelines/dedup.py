@@ -998,9 +998,9 @@ def connected_components(
     from .graph import (
         BROADCAST_MAX_ROWS,
         _broadcast_lookup,
+        _broadcast_rounds,
         _collect_table,
         _concat_group,
-        _limb_checksum_np,
         _split_for_map,
     )
 
@@ -1032,43 +1032,25 @@ def connected_components(
         # framework sort-groupby costs ~25 s PER ROUND on a low-block-count
         # input at the 8× stress scale; this path replaces it outright, and
         # the fixpoint checksum comes free from the driver table.
-        import ray
         import ray.data as _rd
 
         lt = _collect_table(labels)
         if lt is None:  # no nodes: the fixpoint is the empty label table
             return labels
-        edges = _split_for_map(edges)
-        node_arr = lt["node"].combine_chunks()
-        label_arr = lt["label"].combine_chunks()
-        # fixpoint state = (ROW COUNT, limb sums): the union step can GROW
-        # the node set (dst outside ``nodes``), and a new row's entering
-        # label can exactly offset an in-universe min-decrease in the limb
-        # sums — sum-only convergence is unsound on a growing set. Count +
-        # sums together are sound: each round is a deterministic function
-        # of (edges, labels), and on an UNCHANGED set the labels are
-        # monotone non-increasing, so equal sums mean no label moved.
-        prev = (len(node_arr), _limb_checksum_np(label_arr.to_numpy()))
-        while True:
-            ref = ray.put((node_arr, label_arr))
-            parts = _collect_table(
-                edges.map_batches(
-                    msgs_bcast(ref), batch_format="pyarrow", batch_size=None
-                )
-            )
-            cur = pa.table({"node": node_arr, "label": label_arr})
-            merged = _concat_group(
-                [cur] + ([parts] if parts is not None else []),
-                "node",
-                "label",
-                "min",
-            )
-            node_arr = merged["node"].combine_chunks()
-            label_arr = merged["label"].combine_chunks()
-            new = (len(node_arr), _limb_checksum_np(label_arr.to_numpy()))
-            if new == prev:
-                return _rd.from_arrow(merged)
-            prev = new
+        # (ROW COUNT, limb sums) fixpoint — the growing-node-set soundness
+        # argument lives in graph._broadcast_rounds, shared with
+        # bfs_distance so a fix there can't miss this copy
+        node_arr, label_arr = _broadcast_rounds(
+            lt["node"].combine_chunks(),
+            lt["label"].combine_chunks(),
+            _split_for_map(edges),
+            msgs_bcast,
+            "label",
+            "min",
+            lambda n, l: pa.table({"node": n, "label": l}),
+            lambda m: (m["node"].combine_chunks(), m["label"].combine_chunks()),
+        )
+        return _rd.from_arrow(pa.table({"node": node_arr, "label": label_arr}))
 
     # (count, limb sums) for the same growing-node-set soundness reason as
     # the broadcast loop above; merged is materialized so count() is free

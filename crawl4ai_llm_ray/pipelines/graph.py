@@ -145,6 +145,66 @@ def _concat_group(tbls, key: str, col: str, agg: str) -> "pa.Table":
     ).combine_chunks()
 
 
+def _broadcast_rounds(
+    node_arr,
+    val_arr,
+    edges_b,
+    make_msg_fn,
+    col: str,
+    agg: str,
+    cur_fn,
+    update_fn,
+    iters: int | None = None,
+):
+    """The shared driver loop of the Pregel-family broadcast fast path
+    (pagerank / connected_components / bfs_distance — one copy so the
+    soundness-critical pieces can't drift between them). Per round:
+
+        ref    = ray.put((node_arr, val_arr))           # broadcast state
+        parts  = collect(edges_b.map_batches(make_msg_fn(ref)))
+                                        # lookup + BLOCK-LOCAL combiner
+        merged = _concat_group([cur_fn(node_arr, val_arr)] + parts,
+                               "node", col, agg)        # driver C++ group_by
+        node_arr, val_arr = update_fn(merged)
+
+    ``iters`` set → exactly that many rounds (pagerank). ``iters=None`` →
+    run to the (ROW COUNT, limb sums) fixpoint: the merge step can GROW the
+    node set (a dst outside the node universe enters via union semantics),
+    and a new row's entering value can exactly offset an in-universe
+    decrease in the limb sums — sum-only convergence is unsound on a
+    growing set. Count + sums together are sound: each round is a
+    deterministic function of (edges, state), and on an UNCHANGED set the
+    values are monotone non-increasing under a min combine, so equal sums
+    mean no value moved. Returns the final (node_arr, val_arr)."""
+    import itertools
+
+    import ray
+
+    if iters is None:
+        prev = (len(node_arr), _limb_checksum_np(val_arr.to_numpy()))
+    rounds = range(iters) if iters is not None else itertools.count()
+    for _ in rounds:
+        ref = ray.put((node_arr, val_arr))
+        parts = _collect_table(
+            edges_b.map_batches(
+                make_msg_fn(ref), batch_format="pyarrow", batch_size=None
+            )
+        )
+        merged = _concat_group(
+            [cur_fn(node_arr, val_arr)] + ([parts] if parts is not None else []),
+            "node",
+            col,
+            agg,
+        )
+        node_arr, val_arr = update_fn(merged)
+        if iters is None:
+            new = (len(node_arr), _limb_checksum_np(val_arr.to_numpy()))
+            if new == prev:
+                break
+            prev = new
+    return node_arr, val_arr
+
+
 def _ensure_min_blocks(ds, target: int):
     """Split-before-shuffle guard. The sort-based groupby sizes its task
     graph from its input block count, so a low-block MATERIALIZED input
@@ -278,37 +338,41 @@ def pagerank(
         # bit-identical to the distributed groupby). The framework
         # sort-groupby costs ~25 s PER ROUND on a low-block-count input at
         # the 8× stress scale; this path replaces it outright.
-        import ray
         import ray.data as _rd
 
         rt = _collect_table(ranks)
         if rt is None:  # no nodes: every iteration is vacuously empty
             return ranks
         edges = _split_for_map(edges)
-        node_arr = rt["node"].combine_chunks()
-        pr_arr = rt["pr"].combine_chunks()
-        for _ in range(iters):
-            ref = ray.put((node_arr, pr_arr))
-            parts = _collect_table(
-                edges.map_batches(
-                    contrib_bcast(ref), batch_format="pyarrow", batch_size=None
-                )
-            )
-            cur = pa.table(
+
+        def cur_zeros(node_arr, _pr):
+            # the running inflow baseline: zero per known node (state lives
+            # in pr_arr, re-derived from the merged sums each round)
+            return pa.table(
                 {
                     "node": node_arr,
                     "inflow": pa.array(np.zeros(len(node_arr), dtype=np.int64)),
                 }
             )
-            merged = _concat_group(
-                [cur] + ([parts] if parts is not None else []),
-                "node",
-                "inflow",
-                "sum",
-            )
+
+        def renorm_update(merged):
             s = merged["inflow"].to_numpy()
-            node_arr = merged["node"].combine_chunks()
-            pr_arr = pa.array(base + (d_num * s.astype(np.int64)) // d_den)
+            return (
+                merged["node"].combine_chunks(),
+                pa.array(base + (d_num * s.astype(np.int64)) // d_den),
+            )
+
+        node_arr, pr_arr = _broadcast_rounds(
+            rt["node"].combine_chunks(),
+            rt["pr"].combine_chunks(),
+            edges,
+            contrib_bcast,
+            "inflow",
+            "sum",
+            cur_zeros,
+            renorm_update,
+            iters=iters,
+        )
         return _rd.from_arrow(pa.table({"node": node_arr, "pr": pr_arr}))
 
     zeros = nodes.map_batches(zero, batch_format="pyarrow").materialize()
@@ -693,38 +757,25 @@ def bfs_distance(
         if dt0 is None:
             prev = dist
         else:
-            edges_b = _split_for_map(edges)
-            node_arr = dt0["node"].combine_chunks()
-            dist_arr = dt0["dist"].combine_chunks()
-            # (count, sums) fixpoint like connected_components: BFS dists
-            # are provably alias-free even on a growing node set (finite
-            # values never decrease; SENT→finite moves the mid limb, new
-            # rows only add lo), but the count term makes the soundness
-            # argument local instead of global — and it's free here.
-            prev_sum = (len(node_arr), _limb_checksum_np(dist_arr.to_numpy()))
-            while True:
-                ref = ray.put((node_arr, dist_arr))
-                parts = _collect_table(
-                    edges_b.map_batches(
-                        bump_bcast(ref), batch_format="pyarrow", batch_size=None
-                    )
-                )
-                cur = pa.table({"node": node_arr, "dist": dist_arr})
-                merged = _concat_group(
-                    [cur] + ([parts] if parts is not None else []),
-                    "node",
-                    "dist",
-                    "min",
-                )
-                node_arr = merged["node"].combine_chunks()
-                dist_arr = merged["dist"].combine_chunks()
-                new_sum = (
-                    len(node_arr),
-                    _limb_checksum_np(dist_arr.to_numpy()),
-                )
-                if new_sum == prev_sum:
-                    break
-                prev_sum = new_sum
+            # (count, sums) fixpoint via _broadcast_rounds (shared with
+            # connected_components): BFS dists are provably alias-free even
+            # on a growing node set (finite values never decrease;
+            # SENT→finite moves the mid limb, new rows only add lo), but
+            # the count term makes the soundness argument local instead of
+            # global — and it's free here.
+            node_arr, dist_arr = _broadcast_rounds(
+                dt0["node"].combine_chunks(),
+                dt0["dist"].combine_chunks(),
+                _split_for_map(edges),
+                bump_bcast,
+                "dist",
+                "min",
+                lambda n, d: pa.table({"node": n, "dist": d}),
+                lambda m: (
+                    m["node"].combine_chunks(),
+                    m["dist"].combine_chunks(),
+                ),
+            )
             prev = _rd.from_arrow(
                 pa.table({"node": node_arr, "dist": dist_arr})
             )
