@@ -16,6 +16,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# regional_revenue's broadcast-join gate: when orders AND customer both fit
+# under this (footer row counts), the (o_orderkey → regionkey) map is built
+# driver-side and broadcast once — the query becomes one shuffle-free pass
+# over lineitem. 4M narrow int64 rows ≈ 64 MB in the object store.
+REGIONAL_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -462,7 +468,9 @@ def left_join_counts(sf_dir: str, n_agg_parts: int = 16):
     return joined.map_batches(fill, batch_format="pandas")
 
 
-def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
+def regional_revenue(
+    sf_dir: str, n_agg_parts: int = 16, broadcast_max_rows: int | None = None
+):
     """TPC-H-Q5-shape 5-table join: revenue (extendedprice·(1−discount)) per
     REGION, through lineitem → orders → customer → nation → region. The
     suite's widest join topology, planned the scale-correct way:
@@ -474,6 +482,18 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
         np.searchsorted — never shuffled, shipped once via ray.put;
       * revenue pre-aggregates per region inside each batch (combiner), so
         the finalize sees dimension-sized partials.
+
+    BROADCAST FAST PATH (same threshold-gated pattern as the Pregel family,
+    graph.BROADCAST_MAX_ROWS): when BOTH orders and customer fit under
+    ``broadcast_max_rows`` (default REGIONAL_BROADCAST_MAX_ROWS; parquet
+    footer row counts, no data read), the whole query collapses to ONE
+    streaming pass over lineitem — the narrow (o_orderkey → regionkey) map
+    is built on the driver, shipped once via ``ray.put``, and each lineitem
+    batch does an in-map ``pc.index_in`` inner-join leg + block-local
+    combiner (graph._broadcast_lookup). Zero shuffles, and lineitem — the
+    only fact-scale table at that gate — never materializes. Above the
+    bound the two partitioned hash joins below run unchanged, so a 10^9-row
+    customer/orders never lands on the driver.
 
     Returns (r_name, revenue) rounded to 2 decimals."""
     import ray
@@ -501,6 +521,73 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
     nk_keys = nk[order_nk]
     nk_rk = nat["n_regionkey"].to_numpy()[order_nk]
     rk2name = dict(zip(reg["r_regionkey"].to_list(), reg["r_name"].to_list()))
+
+    from ..functions.agg import final_agg
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": g["rk"].map(rk2name),
+                "revenue": g["revenue"].round(2),
+            }
+        )
+
+    bound = (
+        REGIONAL_BROADCAST_MAX_ROWS
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+    n_orders = pq_mod.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_cust = pq_mod.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_orders <= bound and n_cust <= bound:
+        import pyarrow.compute as pc
+
+        from .graph import _broadcast_lookup
+
+        # both keyed sides gated small: build (o_orderkey → rk) on the driver
+        cust_t = pq_mod.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cidx = np.searchsorted(
+            nk_keys, cust_t["c_nationkey"].to_numpy(zero_copy_only=False)
+        )
+        oidx = pc.index_in(
+            pq_mod.read_table(
+                f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+            )["o_custkey"],
+            value_set=cust_t["c_custkey"].combine_chunks(),
+        )
+        ord_t = pq_mod.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+        )
+        valid = pc.is_valid(oidx)  # inner: orders without a customer drop
+        okey = ord_t["o_orderkey"].filter(valid).combine_chunks()
+        ork = pc.take(pa.array(nk_rk[cidx]), oidx.filter(valid))
+        ref = ray.put((okey, ork))
+
+        def li_bcast_partial(t: pa.Table) -> pa.Table:
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            narrow = pa.table(
+                {"l_orderkey": t["l_orderkey"], "rev": pa.array(price * (1.0 - disc))}
+            )
+            narrow, rk_vals = _broadcast_lookup(narrow, ref, "l_orderkey")
+            g = (
+                pa.table({"rk": rk_vals, "rev": narrow["rev"]})
+                .group_by(["rk"])
+                .aggregate([("rev", "sum")])
+            )
+            return pa.table({"rk": g["rk"], "rev": g["rev_sum"]})
+
+        li_b = _read(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        return final_agg(
+            li_b.map_batches(li_bcast_partial, batch_format="pyarrow", batch_size=65536),
+            keys=["rk"],
+            sums={"revenue": "rev"},
+            finalize=finalize,
+        )
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
@@ -543,16 +630,6 @@ def regional_revenue(sf_dir: str, n_agg_parts: int = 16):
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["rk"]).aggregate([("rev", "sum")])
         return pa.table({"rk": g["rk"], "rev": g["rev_sum"]})
-
-    from ..functions.agg import final_agg
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "r_name": g["rk"].map(rk2name),
-                "revenue": g["revenue"].round(2),
-            }
-        )
 
     return final_agg(
         joined.map_batches(partial, batch_format="pyarrow", batch_size=65536),

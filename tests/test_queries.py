@@ -124,6 +124,31 @@ def test_asof_bucketed_equals_default():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_regional_revenue_broadcast_equals_join_path():
+    """The threshold-gated broadcast fast path (one shuffle-free lineitem
+    pass over a driver-built o_orderkey→regionkey map) must equal the
+    partitioned two-join path after the cent rounding — same gate contract
+    as graph.BROADCAST_MAX_ROWS: forcing the bound to 0 forces the join
+    path, the default takes the broadcast path at test scale."""
+    from crawl4ai_llm_ray.pipelines import relational4
+
+    fast = (
+        _df(relational4.regional_revenue(SF))
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    joined = (
+        _df(relational4.regional_revenue(SF, broadcast_max_rows=0))
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    assert fast["r_name"].tolist() == joined["r_name"].tolist()
+    assert np.allclose(
+        fast["revenue"].to_numpy(), joined["revenue"].to_numpy(), rtol=0, atol=0.011
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_round3_ops_on_empty_tables(tmp_path):
     """Zero-row inputs: every round-3 operator returns empty instead of
     crashing (Ray can skip map_batches entirely on empty datasets, handing
