@@ -551,14 +551,11 @@ def regional_revenue(
         cidx = np.searchsorted(
             nk_keys, cust_t["c_nationkey"].to_numpy(zero_copy_only=False)
         )
-        oidx = pc.index_in(
-            pq_mod.read_table(
-                f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-            )["o_custkey"],
-            value_set=cust_t["c_custkey"].combine_chunks(),
-        )
         ord_t = pq_mod.read_table(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        oidx = pc.index_in(
+            ord_t["o_custkey"], value_set=cust_t["c_custkey"].combine_chunks()
         )
         valid = pc.is_valid(oidx)  # inner: orders without a customer drop
         okey = ord_t["o_orderkey"].filter(valid).combine_chunks()
