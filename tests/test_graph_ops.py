@@ -491,3 +491,45 @@ def test_cc_fixpoint_not_fooled_by_checksum_aliasing_growth():
             .to_dict()
         )
         assert got == {0: 0, 1: 0, 2: 0, 9: 0}, (bmr, got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_lookup_property_equals_pandas_merge():
+    """graph._broadcast_lookup is the in-map inner-join leg shared by the
+    Pregel broadcast rounds AND regional_revenue's fast path — pin its
+    semantics against a pandas inner merge on arbitrary (unique-key map,
+    dup/missing-heavy probe) inputs: row ORDER of the probe is preserved,
+    misses are dropped, every hit maps to its unique value."""
+    import numpy as np
+    import ray
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_llm_ray.pipelines.graph import _broadcast_lookup
+
+    @given(
+        keys=st.lists(
+            st.integers(-50, 50), min_size=0, max_size=30, unique=True
+        ),
+        probe=st.lists(st.integers(-60, 60), min_size=0, max_size=60),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(keys, probe):
+        vals = [k * 7 + 1 for k in keys]  # distinct per key, order-checkable
+        ref = ray.put(
+            (pa.array(keys, pa.int64()), pa.array(vals, pa.int64()))
+        )
+        t = pa.table(
+            {
+                "k": pa.array(probe, pa.int64()),
+                "row": pa.array(np.arange(len(probe), dtype=np.int64)),
+            }
+        )
+        got_t, got_vals = _broadcast_lookup(t, ref, "k")
+        left = pd.DataFrame({"k": probe, "row": np.arange(len(probe))})
+        right = pd.DataFrame({"k": keys, "v": vals})
+        want = left.merge(right, on="k", how="inner").sort_values("row")
+        assert got_t["row"].to_pylist() == want["row"].tolist()  # order kept
+        assert got_vals.to_pylist() == want["v"].tolist()
+
+    check()
