@@ -95,6 +95,7 @@ def main() -> None:
     from crawl4ai_llm_ray.pipelines import (
         relational,
         relational2,
+        relational3,
         relational4,
         relational5,
         text,
@@ -114,6 +115,14 @@ def main() -> None:
             ("regional_revenue", lambda: relational4.regional_revenue(d)),
             ("corpus_curation", lambda: text.corpus_curation(d)),
             ("pack_documents", lambda: text.pack_documents(d)),
+            # sketches / sampling family (mergeable partials, zero/narrow
+            # shuffle by design — the probe checks the claim holds in wall)
+            ("approx_distinct_hll", lambda: relational3.approx_distinct_hll(d)),
+            ("heavy_hitters_cms", lambda: relational5.heavy_hitters_cms(d)),
+            ("bloom_semi_join", lambda: relational.bloom_semi_join(d)),
+            ("approx_quantiles_hist", lambda: relational4.approx_quantiles_hist(d)),
+            ("weighted_sample_orders", lambda: relational5.weighted_sample_orders(d)),
+            ("stratified_sample", lambda: relational4.stratified_sample(d)),
         ]:
             sec, rows = timed(fn, trials=TRIALS)
             results.append({"op": op, "scale": scale, "sec": sec, "rows": rows})
